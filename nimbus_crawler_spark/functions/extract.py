@@ -1,0 +1,202 @@
+"""HTML text/link extraction kernels (pure Python, Arrow-batch friendly).
+
+Re-expresses the reference parser's semantics
+(``/root/reference/internal/parser/extractor.go``):
+
+* ``ExtractText`` (extractor.go:21-30): remove every ``script``, ``style``,
+  ``noscript``, ``iframe`` element document-wide, then for each ``<body>``
+  element concatenate all descendant text nodes in document order and
+  TrimSpace the per-body result. **Byte-identical output per url is the
+  engine's per-row invariant** (BASELINE.json input_hint).
+* ``ExtractURLs`` (extractor.go:32-76): every ``a[href]`` in document order;
+  trim href; drop empty / ``javascript:`` / ``mailto:`` / ``tel:`` / ``#``
+  prefixes; resolve against the frontier URL; keep scheme ∈ {http, https};
+  purell-normalize; order-preserving first-wins dedup per page.
+
+Parser note: the reference uses Go x/net/html (WHATWG HTML5). This module
+uses the stdlib ``html.parser`` tree-builder below; the synthetic corpus is
+restricted to well-formed HTML where the two tree constructions agree
+(SURVEY.md §7.3 risk 1). The golden ``text`` column in fixtures is produced
+*independently* by the corpus generator, so agreement is tested, not assumed.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+from .urlnorm import canonicalize, parse_url, resolve_reference
+
+_VOID_ELEMENTS = frozenset(
+    {
+        "area", "base", "br", "col", "embed", "hr", "img", "input",
+        "link", "meta", "param", "source", "track", "wbr",
+    }
+)
+
+_REMOVED_TAGS = frozenset({"script", "style", "noscript", "iframe"})
+
+# Elements whose start tag implicitly closes an open element of the same tag
+# (minimal HTML5 tree-construction recovery for common cases).
+_SELF_NESTING_CLOSERS = frozenset({"p", "li", "option", "tr", "td", "th"})
+
+_HEAD_ONLY_TAGS = frozenset({"head", "title", "meta", "base", "basefont"})
+
+
+class _Node:
+    __slots__ = ("tag", "attrs", "children")
+
+    def __init__(self, tag: str, attrs: list[tuple[str, str | None]] | None = None):
+        self.tag = tag
+        self.attrs = attrs or []
+        self.children: list[object] = []  # _Node | str (text)
+
+    def attr(self, name: str) -> str | None:
+        for k, v in self.attrs:
+            if k == name:
+                return v if v is not None else ""
+        return None
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = _Node("#document")
+        self.stack = [self.root]
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _SELF_NESTING_CLOSERS and self.stack[-1].tag == tag:
+            self.stack.pop()
+        node = _Node(tag, attrs)
+        self.stack[-1].children.append(node)
+        if tag not in _VOID_ELEMENTS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        self.stack[-1].children.append(_Node(tag, attrs))
+
+    def handle_endtag(self, tag: str) -> None:
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+        # stray end tag: ignored (matches HTML5 recovery for simple cases)
+
+    def handle_data(self, data: str) -> None:
+        if data:
+            self.stack[-1].children.append(data)
+
+
+def parse_html(html: str | bytes) -> _Node:
+    """Build a document tree. bytes are decoded as UTF-8 (the corpus invariant;
+    the reference serves []byte to x/net/html which sniffs — our fixture HTML
+    is always UTF-8, FIXTURES.md §1)."""
+    if isinstance(html, (bytes, bytearray)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    tb = _TreeBuilder()
+    tb.feed(html)
+    tb.close()
+    return tb.root
+
+
+def _remove_tags(node: _Node, tags: frozenset[str]) -> None:
+    node.children = [
+        c for c in node.children if not (isinstance(c, _Node) and c.tag in tags)
+    ]
+    for c in node.children:
+        if isinstance(c, _Node):
+            _remove_tags(c, tags)
+
+
+def _find_all(node: _Node, tag: str, out: list[_Node]) -> None:
+    for c in node.children:
+        if isinstance(c, _Node):
+            if c.tag == tag:
+                out.append(c)
+            _find_all(c, tag, out)
+
+
+def _text_of(node: _Node, sb: list[str]) -> None:
+    for c in node.children:
+        if isinstance(c, _Node):
+            _text_of(c, sb)
+        else:
+            sb.append(c)
+
+
+def _body_nodes(root: _Node) -> list[_Node]:
+    bodies: list[_Node] = []
+    _find_all(root, "body", bodies)
+    if bodies:
+        return bodies
+    # Fragment input: x/net/html auto-creates <body> holding all non-head
+    # content. Emulate with a virtual body over non-head top-level nodes.
+    virtual = _Node("body")
+    def collect(n: _Node) -> None:
+        for c in n.children:
+            if isinstance(c, _Node):
+                if c.tag in ("html",):
+                    collect(c)
+                elif c.tag not in _HEAD_ONLY_TAGS:
+                    virtual.children.append(c)
+            else:
+                virtual.children.append(c)
+    collect(root)
+    return [virtual]
+
+
+def extract_text(html: str | bytes) -> str:
+    """Reference ExtractText (extractor.go:21-30), byte-for-byte.
+
+    Unit vectors ported from extractor_test.go:19-75 in
+    tests/test_extract.py.
+    """
+    root = parse_html(html)
+    _remove_tags(root, _REMOVED_TAGS)
+    out: list[str] = []
+    for body in _body_nodes(root):
+        sb: list[str] = []
+        _text_of(body, sb)
+        out.append("".join(sb).strip())
+    return "".join(out)
+
+
+def extract_links(html: str | bytes, base_url: str) -> list[str] | None:
+    """Reference ExtractURLs (extractor.go:32-76).
+
+    Returns None when the base URL fails Go-style parsing
+    (extractor_test.go:124-128), else the ordered, deduped, canonicalized
+    link list. Runs on the *unmutated* document — the reference extracts
+    links before ExtractText removes elements (parser.go:140-144) — our
+    extract_text works on its own tree so ordering between the two is free.
+    """
+    if parse_url(base_url) is None:
+        return None
+    root = parse_html(html)
+    anchors: list[_Node] = []
+    _find_all(root, "a", anchors)
+    seen: set[str] = set()
+    urls: list[str] = []
+    for a in anchors:
+        href = a.attr("href")
+        if href is None or href == "":
+            continue
+        href = href.strip()
+        if (
+            href.startswith("javascript:")
+            or href.startswith("mailto:")
+            or href.startswith("tel:")
+            or href.startswith("#")
+        ):
+            continue
+        resolved = resolve_reference(base_url, href)
+        if resolved is None:
+            continue
+        rp = parse_url(resolved)
+        if rp is None or rp.scheme not in ("http", "https"):
+            continue
+        normalized = canonicalize(resolved)
+        if normalized is None or normalized in seen:
+            continue
+        seen.add(normalized)
+        urls.append(normalized)
+    return urls
