@@ -1,0 +1,242 @@
+"""Document-level deduplication operators for training-data pipelines.
+
+These extend the crawl engine's URL/content dedup (SURVEY.md §2.5) with the
+operators a 100 TB web-text curation pipeline needs: exact hash dedup,
+MinHash+LSH near-dup, SimHash, and shingle-Jaccard verification. All are
+built from JVM-side expressions only (split/explode/window/groupBy — no
+Python in the hot path) and use *portable* hashing (md5 hex strings) so every
+operator has a DuckDB-checkable SQL oracle in ``__spark_entry__.py``.
+
+Scale notes (the point of each design):
+* exact dedup — one shuffle on the 128-bit content hash; at 100 TB this is
+  the cheapest possible grouping key and AQE handles hash skew (empty docs).
+* MinHash: signatures are ``min(md5(i||':'||shingle))`` per permutation i —
+  a min-aggregate per (doc, i), so map-side partial aggregation does almost
+  all the work before the shuffle. LSH banding turns all-pairs O(n²) into
+  per-bucket candidate generation; candidate verification joins are bounded
+  by bucket sizes, not corpus size.
+* SimHash: 32-bit fingerprint via per-hex-char votes — a single groupBy(doc)
+  aggregation; Hamming-near pairs then join on band keys, never all-pairs.
+* shingle Jaccard — exact verification restricted to candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _tokens(text: Column) -> Column:
+    """Whitespace tokens, lowercased (portable: string_split_regex in DuckDB)."""
+    return F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != "")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """n-token shingles in document order (may repeat)."""
+    toks = _tokens(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + k).cast("int")) for k in range(n)]
+        ),
+    )
+
+
+def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by md5(text): (content_hash, n_docs, keeper)."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("keeper_doc_id"),
+        )
+    )
+
+
+def exact_dedup_keep_first(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """First-wins survivor set (analog of crawl content dedup D3)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, perm, sig): sig = min over shingles of md5(perm||':'||shingle).
+
+    String-min over md5 hex is a valid permutation proxy (uniform order on
+    shingles) and — unlike xxhash64/murmur — is bit-identical across engines,
+    which keeps the operator oracle-checkable.
+    """
+    sh = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("shingle")
+    )
+    perms = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("perm")
+    return (
+        sh.select(id_col, "shingle", perms)
+        .groupBy(id_col, "perm")
+        .agg(F.min(F.md5(F.concat_ws(":", F.col("perm"), F.col("shingle")))).alias("sig"))
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate near-dup pairs (a < b) sharing ≥1 LSH band bucket."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, shingle_n, id_col, text_col)
+    band_keys = (
+        sigs.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        # band key = md5 of the band's sigs in perm order
+        .agg(F.md5(F.concat_ws(",", F.array_sort(F.collect_list(F.struct("perm", "sig")))
+                               .getField("sig"))).alias("band_key"))
+    )
+    a = band_keys.select(F.col(id_col).alias("a"), "band", "band_key")
+    b = band_keys.select(F.col(id_col).alias("b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    docs: DataFrame,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact distinct-shingle Jaccard for candidate pairs: (a, b, jaccard)."""
+    sh = docs.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_sh"),
+    )
+    j = (
+        pairs.join(sh.withColumnRenamed("_id", "a").withColumnRenamed("_sh", "sh_a"), "a")
+        .join(sh.withColumnRenamed("_id", "b").withColumnRenamed("_sh", "sh_b"), "b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("uni", F.size("sh_a") + F.size("sh_b") - F.col("inter"))
+        .withColumn(
+            "jaccard",
+            F.round(F.when(F.col("uni") > 0, F.col("inter") / F.col("uni")).otherwise(1.0), 6),
+        )
+    )
+    return j.where(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact Jaccard verify."""
+    cands = minhash_lsh_candidates(docs, num_hashes, bands, shingle_n)
+    return jaccard_verify(cands, docs, threshold, shingle_n)
+
+
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """(doc_id, simhash): ``bits``-bit SimHash from token md5 hex chars.
+
+    Bit j votes +1 if hex char j of md5(token) is in 8..f (top bit of the
+    nibble), else −1; fingerprint bit j = 1 iff the vote sum is positive.
+    Portable across engines (md5 + substr + sum only). bits ≤ 32 (md5 hex len).
+    """
+    tok = docs.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("token")
+    ).withColumn("h", F.md5("token"))
+    votes = [
+        F.sum(
+            F.when(F.substring("h", j + 1, 1).isin(*"89abcdef"), 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    fp = None
+    for j in range(bits):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else (fp + bit)
+    return agg.select(id_col, fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 32,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band join (pigeonhole: ≤max_hamming diffs
+    over ``bands`` bands ⇒ some band equal when bands > max_hamming), then
+    exact Hamming verify via bit_count(xor)."""
+    fps = simhash_fingerprints(docs, id_col, text_col, bits)
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    out = None
+    for band in range(bands):
+        key = F.shiftright(F.col("simhash"), band * band_bits).bitwiseAND(F.lit(mask))
+        banded = fps.withColumn("band_key", key).withColumn("band", F.lit(band))
+        a = banded.select(F.col(id_col).alias("a"), F.col("simhash").alias("sh_a"), "band", "band_key")
+        b = banded.select(F.col(id_col).alias("b"), F.col("simhash").alias("sh_b"), "band", "band_key")
+        pairs = a.join(b, ["band", "band_key"]).where(F.col("a") < F.col("b"))
+        out = pairs if out is None else out.unionByName(pairs)
+    return (
+        out.select("a", "b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    max_doc_freq: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup: rare-shingle candidate generation
+    (doc-frequency ≤ max_doc_freq bounds the self-join fan-out — the standard
+    trick that keeps this O(candidates), not O(n²)), then exact verify."""
+    sh = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("shingle")
+    )
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= max_doc_freq))
+        .select("shingle")
+    )
+    sh_rare = sh.join(rare, "shingle")
+    cands = (
+        sh_rare.alias("x")
+        .join(sh_rare.alias("y"), "shingle")
+        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b"))
+        .distinct()
+    )
+    return jaccard_verify(cands, docs, threshold, shingle_n, id_col, text_col)

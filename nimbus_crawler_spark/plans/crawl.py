@@ -1,0 +1,106 @@
+"""Crawl driver: seed round + batch-iterative round loop + resume.
+
+Entry-point parity (SURVEY.md §3): ``seed`` ≙ ``cmd/seeder``, the round loop
+≙ ``cmd/crawler`` + ``cmd/parser`` running to frontier exhaustion. Resume
+restarts from the latest committed round marker; a killed half-written round
+leaves only uncommitted version directories, which the next run ignores —
+the batch analog of XAUTOCLAIM redelivery + the stale-'crawling' reset
+(consumer.go:112-162, models/url.go ResetStaleCrawlingURLs).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import CrawlConfig
+from ..schemas import DOMAINS_SCHEMA, URL_STATE_SCHEMA
+from ..sources.seeds import parse_seed_lines
+from ..store import SnapshotStore
+from .round import run_round
+
+SEED_ROUND = -1
+
+
+@dataclass
+class CrawlSummary:
+    rounds_run: int = 0
+    fetched_total: int = 0
+    round_stats: list[dict] = field(default_factory=list)
+
+
+def seed(spark: SparkSession, store: SnapshotStore, seeds_text: str, cfg: CrawlConfig) -> int:
+    """Seed round (seeder.go:18-81): verbatim URLs, file order, depth 0."""
+    rows = [
+        (
+            url,
+            0,  # url_hash placeholder, recomputed below
+            0,
+            host,
+            0,
+            i,
+            "pending",
+            0,
+            0,
+            None,
+            None,
+            None,
+            SEED_ROUND,
+        )
+        for i, (url, host) in enumerate(parse_seed_lines(seeds_text))
+    ]
+    df = spark.createDataFrame(rows, URL_STATE_SCHEMA)
+    df = df.withColumn("url_hash", F.xxhash64("url")).withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(cfg.state_buckets)).cast("int")
+    )
+    store.commit(
+        SEED_ROUND,
+        snapshots={
+            "url_state": df,
+            "domains": spark.createDataFrame([], DOMAINS_SCHEMA),
+        },
+        meta={"seeds": len(rows), "fetched_total": 0, "config_hash": cfg.config_hash()},
+    )
+    return len(rows)
+
+
+def crawl(
+    spark: SparkSession,
+    warehouse: str,
+    pages: DataFrame,
+    seeds_text: str | None = None,
+    cfg: CrawlConfig = CrawlConfig(),
+    max_rounds: int = 200,
+    resume: bool = False,
+) -> CrawlSummary:
+    """Run the crawl to frontier exhaustion (or ``max_rounds``).
+
+    ``resume=True`` continues from the latest committed round of an existing
+    warehouse; otherwise ``seeds_text`` is required and a fresh seed round is
+    committed first.
+    """
+    store = SnapshotStore(spark, warehouse)
+    summary = CrawlSummary()
+
+    last = store.latest_commit()
+    if resume and last is not None:
+        start_round = last["round"] + 1
+        fetched_total = int(last["meta"].get("fetched_total", 0))
+    else:
+        if seeds_text is None:
+            raise ValueError("seeds_text required for a fresh crawl")
+        seed(spark, store, seeds_text, cfg)
+        start_round = 0
+        fetched_total = 0
+
+    for r in range(start_round, start_round + max_rounds):
+        stats = run_round(spark, store, pages, cfg, r, fetched_total)
+        summary.round_stats.append(stats)
+        fetched_total = stats["fetched_total"]
+        summary.rounds_run += 1
+        if stats["frontier_pending"] == 0:
+            break
+    summary.fetched_total = fetched_total
+    return summary

@@ -1,0 +1,364 @@
+"""One crawl round as a single declarative DataFrame lineage (SURVEY.md §3.2).
+
+The reference's per-message pipeline (crawler.go:92-259 → parser.go:80-229)
+becomes, per round r:
+
+    eligible  = url_state WHERE status∈(pending,crawling) AND next_round≤r AND depth≤max_depth
+    domains  ⊕= robots rows for newly-seen politeness keys       (J2/S14)
+    allowed   = eligible ⋈ broadcast(domains) robots-gated       (F5)
+    selected  = politeness token-bucket window rank               (O1/O2, F6)
+    fetched   = selected ⋈ pages ON url                           (J4/S8 — the "fetch")
+    fail path = retry++ / failed / backoff next_round             (U4, P11)
+    parsed    = sha2 dedup (J3/D3) → parse pandas UDF (P7/P8) → keys (P6)
+    children  = posexplode(links) → depth gate (F11) → hostname (F12)
+                → intra-round first-wins (D2) → anti-join seen set (J1)
+    MERGE url_state, domains; APPEND crawl_results, quarantine, lineage; commit
+
+Everything except the pandas-UDF kernels stays in whole-stage codegen:
+sha2, xxhash64, window ranks, joins, explode are all JVM-side expressions.
+Column pruning pushes the ``pages`` scan down to (url, html, lang) only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import CrawlConfig
+from ..schemas import (
+    CRAWL_RESULTS_SCHEMA,
+    LINEAGE_SCHEMA,
+    QUARANTINE_SCHEMA,
+    URL_STATE_SCHEMA,
+)
+from ..functions.udfs import (
+    crawl_delay_udf,
+    hostname_udf,
+    html_key_udf,
+    parse_page_udf,
+    registrable_domain_udf,
+    robots_allowed_udf,
+    text_key_udf,
+)
+from ..operators.politeness import advance_clock, politeness_select
+from ..store import SnapshotStore
+
+_STATE_COLS = [f.name for f in URL_STATE_SCHEMA.fields]
+
+
+def _with_keys(df: DataFrame, n_buckets: int) -> DataFrame:
+    return df.withColumn("url_hash", F.xxhash64("url")).withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+    )
+
+
+def _pkey(cfg: CrawlConfig):
+    if cfg.politeness_key == "registrable_domain":
+        return registrable_domain_udf(F.col("host"))
+    return F.col("host")
+
+
+def run_round(
+    spark: SparkSession,
+    store: SnapshotStore,
+    pages: DataFrame,
+    cfg: CrawlConfig,
+    r: int,
+    fetched_total: int,
+) -> dict:
+    """Execute round ``r``; commits atomically; returns progress stats."""
+    state = store.read("url_state")
+    domains = store.read("domains")
+
+    frontier = state.where(F.col("status").isin("pending", "crawling"))
+    frontier_pending = frontier.count()
+    if frontier_pending == 0:
+        store.commit(r, meta={"frontier_pending": 0, "scheduled": 0, "fetched_total": fetched_total})
+        return {"frontier_pending": 0, "scheduled": 0, "fetched": 0, "fetched_total": fetched_total}
+
+    backpressured = (
+        cfg.frontier_backpressure is not None and frontier_pending > cfg.frontier_backpressure
+    )
+
+    eligible = frontier.where(
+        (F.col("next_round") <= r) & (F.col("depth") <= cfg.max_depth)
+    ).withColumn("pkey", _pkey(cfg))
+
+    # --- domains upsert for newly-seen politeness keys (J5 + S14) -----------
+    # Robots bodies come from the closed world: the reference fetches
+    # https://<domain>/robots.txt (robots.go:122); missing page ⇒ empty body
+    # ⇒ allow-all at default delay (robots.go:137-141).
+    robots_pages = pages.where(F.col("url").endswith("/robots.txt")).select(
+        F.col("url").alias("_robots_url"), F.col("html").cast("string").alias("robots_body")
+    )
+    new_domains = (
+        eligible.select("pkey").distinct()
+        .join(domains.select(F.col("host").alias("pkey")), "pkey", "left_anti")
+        .withColumn("_robots_url", F.concat(F.lit("https://"), F.col("pkey"), F.lit("/robots.txt")))
+        .join(robots_pages, "_robots_url", "left")
+        .select(
+            F.col("pkey").alias("host"),
+            F.col("robots_body"),
+            crawl_delay_udf(F.col("robots_body")).alias("crawl_delay_ms"),
+            F.lit(0).cast("long").alias("next_free_ms"),
+            F.lit(r).cast("long").alias("first_seen_round"),
+        )
+    )
+    domains_all = domains.unionByName(new_domains).localCheckpoint(eager=True)
+
+    # --- robots gate (F5) ---------------------------------------------------
+    cand = eligible.join(
+        F.broadcast(
+            domains_all.select(
+                F.col("host").alias("pkey"),
+                "robots_body",
+                "crawl_delay_ms",
+                "next_free_ms",
+            )
+        ),
+        "pkey",
+    )
+    if cfg.respect_robots_txt:
+        cand = cand.withColumn("_allowed", robots_allowed_udf("robots_body", "url"))
+    else:
+        cand = cand.withColumn("_allowed", F.lit(True))
+
+    denied = cand.where(~F.col("_allowed"))
+    allowed = cand.where(F.col("_allowed"))
+
+    # --- politeness token bucket (O1/O2) ------------------------------------
+    selected = politeness_select(
+        allowed,
+        round_idx=r,
+        round_ms=cfg.round_ms,
+        salt_buckets=cfg.host_salt_buckets,
+        round_capacity=cfg.round_capacity,
+        key_col="pkey",
+    ).localCheckpoint(eager=True)  # cut lineage: selection feeds clock, fetch, and state merge
+
+    clock = advance_clock(selected, key_col="pkey")
+
+    # --- fetch = closed-world join (J4/S8) + content-type gate (F8) ---------
+    fetched = selected.join(
+        pages.select("url", "html", "lang"), "url", "left"
+    ).withColumn("_ok", F.col("html").isNotNull() & (F.coalesce(F.col("lang"), F.lit("")) != "binary"))
+
+    failed_rows = fetched.where(~F.col("_ok")).withColumn(
+        "_retry", F.col("retry_count") + 1
+    )
+    ok_rows = fetched.where(F.col("_ok"))
+
+    # global fetch order within the round = frontier priority (depth, seq);
+    # the single-partition window is bounded by Σ host budgets per round
+    # (politeness-limited), not by frontier size — see ENGINE.md scale notes.
+    w_order = Window.orderBy("depth", "seq")
+    ok_rows = (
+        ok_rows.withColumn(
+            "crawl_seq", F.row_number().over(w_order) + F.lit(fetched_total) - 1
+        )
+        .withColumn("content_hash", F.sha2(F.col("html"), 256))
+        .withColumn("html_key", html_key_udf("url"))
+        .localCheckpoint(eager=True)
+    )
+    n_fetched = ok_rows.count()
+
+    # --- content dedup (D3/J3): prior parsed hashes + intra-round first-wins
+    prior_hashes = (
+        state.where(F.col("status") == "parsed")
+        .select("content_hash")
+        .distinct()
+        .withColumn("_prior_dup", F.lit(True))
+    )
+    w_hash = Window.partitionBy("content_hash").orderBy("crawl_seq")
+    hashed = (
+        ok_rows.withColumn("_hash_rn", F.row_number().over(w_hash))
+        .join(prior_hashes, "content_hash", "left")
+        .withColumn("dup_content", (F.col("_hash_rn") > 1) | F.col("_prior_dup").isNotNull())
+    )
+
+    dup_rows = hashed.where(F.col("dup_content"))
+    fresh_rows = hashed.where(~F.col("dup_content"))
+
+    # --- parse stage (P7/P8 pandas UDF, S12, P6) ----------------------------
+    parsed = (
+        fresh_rows.withColumn("_parsed", parse_page_udf("html", "url"))
+        .withColumn("text", F.col("_parsed.text"))
+        .withColumn("links", F.col("_parsed.links"))
+        .withColumn("text_key", text_key_udf("url"))
+        .drop("_parsed")
+        .localCheckpoint(eager=True)  # parse once; reused by results, children, state
+    )
+
+    # --- children (F10/F11/F12, D2, J1) -------------------------------------
+    if backpressured:
+        children = spark.createDataFrame([], URL_STATE_SCHEMA)
+    else:
+        exploded = (
+            parsed.where(F.col("depth") + 1 <= cfg.max_depth)
+            .select(
+                F.col("seq").alias("parent_seq"),
+                (F.col("depth") + 1).alias("depth"),
+                F.posexplode("links").alias("pos", "url"),
+            )
+            .withColumn("host", hostname_udf("url"))
+            .where(F.col("host").isNotNull() & (F.col("host") != ""))
+            .withColumn(
+                "seq",
+                F.col("parent_seq") * F.lit(cfg.max_links_per_page) + F.col("pos") + 1,
+            )
+        )
+        w_child = Window.partitionBy("url").orderBy("depth", "seq")
+        children = (
+            exploded.withColumn("_rn", F.row_number().over(w_child))
+            .where(F.col("_rn") == 1)
+            .join(state.select("url"), "url", "left_anti")  # J1 exact anti-join
+            .select(
+                "url",
+                F.col("host"),
+                F.col("depth").cast("int"),
+                F.col("seq").cast("long"),
+                F.lit("pending").alias("status"),
+                F.lit(0).alias("retry_count"),
+                F.lit(r + 1).cast("long").alias("next_round"),
+                F.lit(None).cast("string").alias("content_hash"),
+                F.lit(None).cast("string").alias("html_key"),
+                F.lit(None).cast("string").alias("text_key"),
+                F.lit(r).cast("long").alias("discovered_round"),
+            )
+        )
+        children = _with_keys(children, cfg.state_buckets).select(*_STATE_COLS)
+
+    # --- state updates (U1-U6) ----------------------------------------------
+    def as_state(df: DataFrame, **overrides) -> DataFrame:
+        cols = []
+        for name in _STATE_COLS:
+            if name in overrides:
+                cols.append(overrides[name].alias(name))
+            else:
+                cols.append(F.col(name))
+        return df.select(*cols)
+
+    upd_denied = as_state(denied, status=F.lit("skipped"))
+    upd_failed = as_state(
+        failed_rows,
+        status=F.when(F.col("_retry") >= cfg.max_retries, "failed").otherwise("crawling"),
+        retry_count=F.col("_retry"),
+        next_round=F.when(F.col("_retry") >= cfg.max_retries, F.col("next_round")).otherwise(
+            F.lit(r)
+            + F.greatest(
+                F.lit(1),
+                F.ceil(F.pow(F.lit(2.0), F.col("_retry")) * 1000.0 / cfg.round_ms),
+            )
+        ).cast("long"),
+    )
+    # dup pages: reference stores only status + html link (parser.go:123;
+    # content_hash is persisted solely by UpdateURLParsed) — hash stays null.
+    upd_dup = as_state(
+        dup_rows,
+        status=F.lit("skipped"),
+        html_key=F.col("html_key"),
+        content_hash=F.lit(None).cast("string"),
+    )
+    upd_parsed = as_state(
+        parsed,
+        status=F.lit("parsed"),
+        content_hash=F.col("content_hash"),
+        html_key=F.col("html_key"),
+        text_key=F.col("text_key"),
+    )
+
+    updates = upd_denied.unionByName(upd_failed).unionByName(upd_dup).unionByName(upd_parsed)
+    new_state = (
+        state.join(updates.select("url"), "url", "left_anti")
+        .unionByName(updates)
+        .unionByName(children)
+    )
+
+    # --- domains politeness clock advance -----------------------------------
+    new_domains_state = (
+        domains_all.join(clock, domains_all["host"] == clock["pkey"], "left")
+        .select(
+            domains_all["host"],
+            "robots_body",
+            "crawl_delay_ms",
+            F.coalesce(F.col("new_next_free_ms"), F.col("next_free_ms")).alias("next_free_ms"),
+            "first_seen_round",
+        )
+    )
+
+    # --- outputs -------------------------------------------------------------
+    results = (
+        hashed.withColumn("text", F.lit(None).cast("string"))
+        .withColumn("text_key", F.lit(None).cast("string"))
+        .withColumn("n_links", F.lit(None).cast("int"))
+        .where(F.col("dup_content"))
+        .unionByName(
+            parsed.withColumn("n_links", F.coalesce(F.size("links"), F.lit(0))),
+            allowMissingColumns=True,
+        )
+        .select(
+            F.lit(r).cast("long").alias("round"),
+            F.col("crawl_seq"),
+            "url",
+            "depth",
+            "host",
+            "content_hash",
+            "html_key",
+            "dup_content",
+            "text",
+            "text_key",
+            "n_links",
+            F.length("html").cast("long").alias("html_bytes"),
+        )
+    )
+
+    quarantine = failed_rows.where(F.col("_retry") >= cfg.max_retries).select(
+        F.lit(r).cast("long").alias("round"),
+        "url",
+        "depth",
+        "host",
+        F.lit("max_retries").alias("reason"),
+        F.col("_retry").alias("retry_count"),
+    )
+
+    lineage = (
+        fetched.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(
+            F.count("*").alias("rows"),
+            F.countDistinct("host").alias("distinct_hosts"),
+            F.coalesce(F.sum(F.length("html")), F.lit(0)).cast("long").alias("bytes"),
+        )
+        .select(
+            F.lit(r).cast("long").alias("round"),
+            F.lit("fetch").alias("stage"),
+            "partition_id",
+            "rows",
+            "distinct_hosts",
+            "bytes",
+        )
+    )
+
+    scheduled = selected.count()
+    fetched_total += n_fetched
+    store.commit(
+        r,
+        snapshots={
+            "url_state": new_state.select(*_STATE_COLS),
+            "domains": new_domains_state,
+        },
+        appends={"crawl_results": results, "quarantine": quarantine, "lineage": lineage},
+        meta={
+            "frontier_pending": frontier_pending,
+            "scheduled": scheduled,
+            "fetched": n_fetched,
+            "fetched_total": fetched_total,
+            "config_hash": cfg.config_hash(),
+            "backpressured": backpressured,
+        },
+    )
+    return {
+        "frontier_pending": frontier_pending,
+        "scheduled": scheduled,
+        "fetched": n_fetched,
+        "fetched_total": fetched_total,
+    }
