@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 plus the training-data pipeline operators (dedup / similarity /
+text analysis / multimodal); ``oracle_sql()`` gives the DuckDB-equivalent SQL
+for every SQL-expressible one. Crawl-kernel entries (canonicalize, robots,
+object keys, text extraction) are made oracle-checkable by constructing
+inputs whose expected outputs are SQL-derivable; genuinely non-SQL ops
+(full crawl round loop, multimodal feature UDFs, MinHash signatures) are
+rows-only.
 """
 
 from __future__ import annotations
@@ -12,27 +15,762 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+
+def _ensure(spark: SparkSession) -> None:
+    """Ship the package to executors even when the driver built its own
+    bare SparkSession (the harness does)."""
+    from nimbus_crawler_spark.session import _ship_package
+
+    _ship_package(spark)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship: document-curation pipeline over the documents table
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-document curation record (fingerprint, language ID,
+    quality score, token counts) over sf0.001 — the text-analysis slice of a
+    training-data pipeline, all JVM-side expressions."""
+    _ensure(spark)
+    from nimbus_crawler_spark.operators.textstats import (
+        fingerprints,
+        lang_id,
+        quality_metrics,
+        token_counts,
+    )
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    return (
+        fingerprints(docs)
+        .join(lang_id(docs), "doc_id")
+        .join(quality_metrics(docs).select("doc_id", "quality_score", "alpha_ratio"), "doc_id")
+        .join(token_counts(docs), "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_frontier_priority_topk(spark, sf_dir):
+    # O1/O3: frontier priority ordering + round capacity (orderBy + limit)
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy("o_orderpriority", "o_orderdate", "o_orderkey")
+        .limit(100)
+        .select("o_orderkey", "o_orderpriority")
+    )
+
+
+def _q_politeness_budget_rank(spark, sf_dir):
+    # O2: per-key token-bucket admission as a rank window (budget=3)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("user_id", "event_id", "rnk")
+    )
+
+
+def _q_seen_antijoin(spark, sf_dir):
+    # J1/D2: URL-seen membership as a left_anti join — "orders not yet seen
+    # shipping in H2 1998" stands in for candidate-links ∖ seen-set
+    orders = _t(spark, sf_dir, "orders")
+    seen = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") > F.lit("1998-06-01"))
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return orders.join(seen, "o_orderkey", "left_anti").select("o_orderkey", "o_custkey")
+
+
+def _q_content_dedup_first_wins(spark, sf_dir):
+    # D3: content-hash first-wins window
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        docs.withColumn("content_hash", F.md5("text"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "content_hash")
+    )
+
+
+def _q_retry_backoff(spark, sf_dir):
+    # P11/U4: deterministic backoff-rounds formula (jitter=0, round_ms=1000)
+    ev = _t(spark, sf_dir, "events")
+    retry = (F.col("event_id") % 4).cast("int")
+    return ev.select(
+        "event_id",
+        retry.alias("retry_count"),
+        F.greatest(F.lit(1), F.ceil(F.pow(F.lit(2.0), retry))).cast("long").alias("backoff_rounds"),
+    )
+
+
+def _q_domain_fanout(spark, sf_dir):
+    # D4/J5/A4: per-source aggregation (domain-registry analog)
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def _q_tpch_q1_pricing(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            (F.floor(F.avg("l_quantity") * 10000 + F.lit(0.5)) / 10000).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_top_customers(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count("*").alias("n_orders"))
+        .join(F.broadcast(cust.select(F.col("c_custkey").alias("o_custkey"), "c_name")), "o_custkey")
+    )
+    return rev.orderBy(F.desc("revenue"), "o_custkey").limit(20).select(
+        F.col("o_custkey").alias("custkey"), "c_name", "revenue", "n_orders"
+    )
+
+
+def _q_lineitem_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+def _q_events_sessionize(spark, sf_dir):
+    # streaming-state analog in batch: 30-min-gap sessionization via lag
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = ev.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    return marked.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+# --- dedup family ---
+
+def _q_dedup_exact(spark, sf_dir):
+    from nimbus_crawler_spark.operators.textdedup import exact_dedup_groups
+
+    return exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+def _q_dedup_minhash_lsh(spark, sf_dir):
+    from nimbus_crawler_spark.operators.textdedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"), num_hashes=16, bands=4, shingle_n=3
+    )
+
+
+def _q_dedup_minhash_verified(spark, sf_dir):
+    from nimbus_crawler_spark.operators.textdedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.2, num_hashes=16, bands=4, shingle_n=3
+    )
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    from nimbus_crawler_spark.operators.textdedup import simhash_fingerprints
+
+    return simhash_fingerprints(_t(spark, sf_dir, "documents"), bits=16)
+
+
+def _q_dedup_ngram_jaccard(spark, sf_dir):
+    from nimbus_crawler_spark.operators.textdedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.3, shingle_n=3, max_doc_freq=20
+    )
+
+
+def _q_fingerprints(spark, sf_dir):
+    from nimbus_crawler_spark.operators.textstats import fingerprints
+
+    return fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def _q_token_counts(spark, sf_dir):
+    from nimbus_crawler_spark.operators.textstats import token_counts
+
+    return token_counts(_t(spark, sf_dir, "documents"))
+
+
+def _q_lang_id(spark, sf_dir):
+    from nimbus_crawler_spark.operators.textstats import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+def _q_quality(spark, sf_dir):
+    from nimbus_crawler_spark.operators.textstats import quality_metrics
+
+    return quality_metrics(_t(spark, sf_dir, "documents"))
+
+
+# --- similarity family ---
+
+def _emb(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return e.withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+
+
+def _q_ann_cosine_topk(spark, sf_dir):
+    from nimbus_crawler_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = _emb(spark, sf_dir)
+    return cosine_topk_bruteforce(emb, emb.where(F.col("vec_id") < 8), k=5)
+
+
+def _q_ann_bucketed(spark, sf_dir):
+    from nimbus_crawler_spark.operators.similarity import cosine_topk_bucketed
+
+    emb = _emb(spark, sf_dir)
+    return cosine_topk_bucketed(emb, emb.where(F.col("vec_id") < 8), k=3, bits=6)
+
+
+def _q_embedding_norms(spark, sf_dir):
+    from nimbus_crawler_spark.operators.similarity import norm_stats_by_label
+
+    return norm_stats_by_label(_emb(spark, sf_dir))
+
+
+# --- crawl kernels, made oracle-checkable via constructed inputs ---
+
+def _messy_url():
+    # deterministic messy URL whose canonical form is SQL-derivable
+    return F.concat(
+        F.lit("HTTPS://Host"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example.COM:443//p//"),
+        F.col("doc_id").cast("string"),
+        F.lit("/?b="),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("&a="),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("#frag"),
+    )
+
+
+def _q_canonicalize(spark, sf_dir):
+    from nimbus_crawler_spark.functions.udfs import canonicalize_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", canonicalize_udf(_messy_url()).alias("canonical_url")
+    )
+
+
+def _simple_url():
+    return F.concat(
+        F.lit("https://h"),
+        (F.col("doc_id") % 9).cast("string"),
+        F.lit(".example/p/"),
+        F.col("doc_id").cast("string"),
+    )
+
+
+def _q_object_keys(spark, sf_dir):
+    from nimbus_crawler_spark.functions.udfs import html_key_udf, text_key_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        html_key_udf(_simple_url()).alias("html_key"),
+        text_key_udf(_simple_url()).alias("text_key"),
+    )
+
+
+_ROBOTS_BODY = "User-agent: NimbusCrawler\nDisallow: /private/\nDisallow: /*.pdf\nCrawl-delay: 2\n\nUser-agent: *\nDisallow: /\n"
+
+
+def _robots_url():
+    return F.concat(
+        F.lit("https://r.example"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/private/"))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("/doc/"), (F.col("doc_id") % 11).cast("string"), F.lit(".pdf")))
+        .otherwise(F.lit("/public/")),
+        F.col("doc_id").cast("string"),
+    )
+
+
+def _q_robots_gate(spark, sf_dir):
+    from nimbus_crawler_spark.functions.udfs import crawl_delay_udf, robots_allowed_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        robots_allowed_udf(F.lit(_ROBOTS_BODY), _robots_url()).alias("allowed"),
+        crawl_delay_udf(F.lit(_ROBOTS_BODY)).alias("crawl_delay_ms"),
+    )
+
+
+def _q_extract_roundtrip(spark, sf_dir):
+    # text-extraction invariant: html built from entity-free text must
+    # extract back byte-identically (oracle: the text column itself)
+    from nimbus_crawler_spark.functions.udfs import parse_page_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.encode(
+        F.concat(
+            F.lit("<html><head><title>t</title></head><body><h1>D"),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><p>"),
+            F.col("text"),
+            F.lit('</p><a href="/next">n</a></body></html>'),
+        ),
+        "utf-8",
+    )
+    url = F.concat(F.lit("https://docs.example/d/"), F.col("doc_id").cast("string"))
+    parsed = docs.select("doc_id", parse_page_udf(html, url).alias("p"))
+    return parsed.select(
+        "doc_id",
+        F.col("p.text").alias("extracted_text"),
+        F.size("p.links").alias("n_links"),
+        F.element_at("p.links", 1).alias("first_link"),
+    )
+
+
+def _q_hostname_registrable(spark, sf_dir):
+    from nimbus_crawler_spark.functions.udfs import hostname_udf, registrable_domain_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://sub"),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit(".h"),
+        (F.col("doc_id") % 6).cast("string"),
+        F.lit(".example.com:8443/x"),
+    )
+    return docs.select(
+        "doc_id",
+        hostname_udf(url).alias("host"),
+        registrable_domain_udf(hostname_udf(url)).alias("registrable"),
+    )
+
+
+# --- rows-only entries (non-SQL-expressible) ---
+
+def _q_crawl_smoke(spark, sf_dir):
+    """Full engine round loop on a tiny deterministic corpus (rows-only:
+    the batch-iterative crawl is not expressible as one SQL statement)."""
+    _ensure(spark)
+    import tempfile
+
+    from nimbus_crawler_spark.config import CrawlConfig
+    from nimbus_crawler_spark.plans.crawl import crawl
+    from nimbus_crawler_spark.sources.corpus import corpus_to_pages_df, make_corpus
+    from nimbus_crawler_spark.store import SnapshotStore
+
+    corpus = make_corpus(seed=42, n_hosts=2, pages_per_host=4, dup_content_pairs=1, binary_rows=1)
+    wh = tempfile.mkdtemp(prefix="nimbus-smoke-")
+    cfg = CrawlConfig(max_depth=2, round_ms=4000)
+    crawl(spark, wh, corpus_to_pages_df(spark, corpus), corpus.seeds_text, cfg, max_rounds=30)
+    store = SnapshotStore(spark, wh)
+    return store.read_appends("crawl_results").orderBy("crawl_seq").select(
+        "crawl_seq", "round", "url", "depth", "dup_content", "text"
+    )
+
+
+def _q_multimodal_features(spark, sf_dir):
+    from nimbus_crawler_spark.operators.multimodal import extract_features, media_from_documents
+
+    _ensure(spark)
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    return extract_features(media).select(
+        "media_id", "kind", "n_bytes", "byte_entropy", "frames_sampled"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # crawl-operator analogs (SURVEY §2)
+        "frontier_priority_topk": _q_frontier_priority_topk,
+        "politeness_budget_rank": _q_politeness_budget_rank,
+        "seen_antijoin": _q_seen_antijoin,
+        "content_dedup_first_wins": _q_content_dedup_first_wins,
+        "retry_backoff": _q_retry_backoff,
+        "domain_fanout": _q_domain_fanout,
+        # crawl kernels (P3/P6/F5/P7/P8/P1/P2)
+        "canonicalize": _q_canonicalize,
+        "object_keys": _q_object_keys,
+        "robots_gate": _q_robots_gate,
+        "extract_roundtrip": _q_extract_roundtrip,
+        "hostname_registrable": _q_hostname_registrable,
+        # analytics
+        "tpch_q1_pricing": _q_tpch_q1_pricing,
+        "top_customers": _q_top_customers,
+        "lineitem_rollup": _q_lineitem_rollup,
+        "events_sessionize": _q_events_sessionize,
+        # training-data dedup
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_minhash_verified": _q_dedup_minhash_verified,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "fingerprints": _q_fingerprints,
+        "token_counts": _q_token_counts,
+        "lang_id": _q_lang_id,
+        "quality": _q_quality,
+        # similarity
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_bucketed": _q_ann_bucketed,
+        "embedding_norms": _q_embedding_norms,
+        # rows-only
+        "crawl_smoke": _q_crawl_smoke,
+        "multimodal_features": _q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB SQL over the same parquet views)
+# ---------------------------------------------------------------------------
+
+_TOKENS_CTE = r"""
+tokens AS (
+  SELECT doc_id, t AS token
+  FROM documents, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS u(t)
+)
+"""
+
+# 3-token shingles in document order (1-indexed lists in DuckDB)
+_SHINGLES_CTE = r"""
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS shingle
+  FROM toks, unnest(range(1, greatest(len(tk) - 1, 1))) AS r(i)
+  WHERE len(tk) >= 3
+)
+"""
+
+
+def _simhash_oracle(bits: int) -> str:
+    votes = ",\n    ".join(
+        f"sum(CASE WHEN substr(h, {j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN v{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(bits))
+    return f"""
+WITH {_TOKENS_CTE.strip().rstrip()},
+hashed AS (SELECT doc_id, md5(token) AS h FROM tokens),
+agg AS (
+  SELECT doc_id,
+    {votes}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM agg
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "frontier_priority_topk": """
+SELECT o_orderkey, o_orderpriority FROM orders
+ORDER BY o_orderpriority, o_orderdate, o_orderkey LIMIT 100
+""",
+        "politeness_budget_rank": """
+SELECT user_id, event_id, rnk FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rnk
+  FROM events) WHERE rnk <= 3
+""",
+        "seen_antijoin": """
+SELECT o_orderkey, o_custkey FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > TIMESTAMP '1998-06-01')
+""",
+        "content_dedup_first_wins": """
+SELECT doc_id, content_hash FROM (
+  SELECT doc_id, md5(text) AS content_hash,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn = 1
+""",
+        "retry_backoff": """
+SELECT event_id, CAST(event_id % 4 AS INTEGER) AS retry_count,
+       CAST(greatest(1, ceil(pow(2.0, event_id % 4))) AS BIGINT) AS backoff_rounds
+FROM events
+""",
+        "domain_fanout": """
+SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+       sum(n_chars) AS total_chars
+FROM documents GROUP BY source
+""",
+        "canonicalize": """
+SELECT doc_id,
+       'https://host' || (doc_id % 7) || '.example.com/p/' || doc_id ||
+       '?a=' || (doc_id % 3) || '&b=' || (doc_id % 5) AS canonical_url
+FROM documents
+""",
+        "object_keys": """
+SELECT doc_id,
+  'h' || (doc_id % 9) || '.example/p/' || doc_id || '_' ||
+    substr(sha256('https://h' || (doc_id % 9) || '.example/p/' || doc_id), 1, 16) || '.html' AS html_key,
+  'h' || (doc_id % 9) || '.example/p/' || doc_id || '_' ||
+    substr(sha256('https://h' || (doc_id % 9) || '.example/p/' || doc_id), 1, 16) || '.txt' AS text_key
+FROM documents
+""",
+        "robots_gate": """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 IN (0, 1) THEN false ELSE true END AS allowed,
+       2000 AS crawl_delay_ms
+FROM documents
+""",
+        "extract_roundtrip": """
+SELECT doc_id, 'D' || doc_id || text || 'n' AS extracted_text,
+       1 AS n_links, 'https://docs.example/next' AS first_link
+FROM documents
+""",
+        "hostname_registrable": """
+SELECT doc_id,
+       'sub' || (doc_id % 4) || '.h' || (doc_id % 6) || '.example.com' AS host,
+       'example.com' AS registrable
+FROM documents
+""",
+        "tpch_q1_pricing": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       floor(avg(l_quantity) * 10000 + 0.5) / 10000 AS avg_qty,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "top_customers": """
+SELECT o_custkey AS custkey, c_name, revenue, n_orders FROM (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+  FROM orders GROUP BY o_custkey) r
+JOIN customer ON c_custkey = o_custkey
+ORDER BY revenue DESC, o_custkey LIMIT 20
+""",
+        "lineitem_rollup": """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+        "events_sessionize": """
+SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events FROM (
+  SELECT user_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+GROUP BY user_id
+""",
+        "dedup_exact": """
+SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keeper_doc_id
+FROM documents GROUP BY md5(text)
+""",
+        "dedup_minhash_lsh": f"""
+WITH {_SHINGLES_CTE.strip()},
+perms AS (SELECT unnest(range(0, 16)) AS perm),
+sigs AS (
+  SELECT doc_id, perm, min(md5(perm || ':' || shingle)) AS sig
+  FROM shingles, perms GROUP BY doc_id, perm
+),
+bands AS (
+  SELECT doc_id, CAST(perm // 4 AS INTEGER) AS band,
+         md5(string_agg(sig, ',' ORDER BY perm)) AS band_key
+  FROM sigs GROUP BY doc_id, CAST(perm // 4 AS INTEGER)
+)
+SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+WHERE a.doc_id < b.doc_id
+""",
+        "dedup_minhash_verified": f"""
+WITH {_SHINGLES_CTE.strip()},
+perms AS (SELECT unnest(range(0, 16)) AS perm),
+sigs AS (
+  SELECT doc_id, perm, min(md5(perm || ':' || shingle)) AS sig
+  FROM shingles, perms GROUP BY doc_id, perm
+),
+bands AS (
+  SELECT doc_id, CAST(perm // 4 AS INTEGER) AS band,
+         md5(string_agg(sig, ',' ORDER BY perm)) AS band_key
+  FROM sigs GROUP BY doc_id, CAST(perm // 4 AS INTEGER)
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+sets AS (SELECT doc_id, list(shingle) AS sh FROM shingles GROUP BY doc_id),
+verified AS (
+  SELECT c.a, c.b,
+    floor((CASE WHEN len(list_distinct(list_concat(x.sh, y.sh))) > 0
+      THEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(list_distinct(list_concat(x.sh, y.sh)))
+      ELSE 1.0 END) * 1000000 + 0.5) / 1000000 AS jaccard
+  FROM cands c JOIN sets x ON x.doc_id = c.a JOIN sets y ON y.doc_id = c.b
+)
+SELECT a, b, jaccard FROM verified WHERE jaccard >= 0.2
+""",
+        "dedup_simhash": _simhash_oracle(16),
+        "dedup_ngram_jaccard": f"""
+WITH {_SHINGLES_CTE.strip()},
+df AS (SELECT shingle, count(*) AS c FROM shingles GROUP BY shingle),
+rare AS (SELECT shingle FROM df WHERE c BETWEEN 2 AND 20),
+shr AS (SELECT s.doc_id, s.shingle FROM shingles s JOIN rare r USING (shingle)),
+cands AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM shr x JOIN shr y USING (shingle) WHERE x.doc_id < y.doc_id
+),
+sets AS (SELECT doc_id, list(shingle) AS sh FROM shingles GROUP BY doc_id),
+verified AS (
+  SELECT c.a, c.b,
+    floor((CASE WHEN len(list_distinct(list_concat(x.sh, y.sh))) > 0
+      THEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(list_distinct(list_concat(x.sh, y.sh)))
+      ELSE 1.0 END) * 1000000 + 0.5) / 1000000 AS jaccard
+  FROM cands c JOIN sets x ON x.doc_id = c.a JOIN sets y ON y.doc_id = c.b
+)
+SELECT a, b, jaccard FROM verified WHERE jaccard >= 0.3
+""",
+        "fingerprints": r"""
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM documents
+""",
+        "token_counts": r"""
+SELECT doc_id,
+  len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS n_ws_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+  length(text) AS n_bytes_utf8
+FROM documents
+""",
+        "lang_id": r"""
+WITH s AS (
+  SELECT doc_id,
+    len(regexp_extract_all(lower(text), '\bthe\b')) + len(regexp_extract_all(lower(text), '\band\b'))
+      + len(regexp_extract_all(lower(text), '\bof\b')) + len(regexp_extract_all(lower(text), '\bis\b'))
+      + len(regexp_extract_all(lower(text), '\bwith\b')) AS s_en,
+    len(regexp_extract_all(lower(text), '\bder\b')) + len(regexp_extract_all(lower(text), '\bund\b'))
+      + len(regexp_extract_all(lower(text), '\bdie\b')) + len(regexp_extract_all(lower(text), '\bist\b'))
+      + len(regexp_extract_all(lower(text), '\bmit\b')) AS s_de,
+    len(regexp_extract_all(lower(text), '\ble\b')) + len(regexp_extract_all(lower(text), '\bla\b'))
+      + len(regexp_extract_all(lower(text), '\bet\b')) + len(regexp_extract_all(lower(text), '\best\b'))
+      + len(regexp_extract_all(lower(text), '\bavec\b')) AS s_fr,
+    len(regexp_extract_all(lower(text), '\bel\b')) + len(regexp_extract_all(lower(text), '\blos\b'))
+      + len(regexp_extract_all(lower(text), '\bes\b')) + len(regexp_extract_all(lower(text), '\bcon\b'))
+      + len(regexp_extract_all(lower(text), '\buna\b')) AS s_es
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+       WHEN s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+       WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+       WHEN s_en >= s_de THEN 'en'
+       ELSE 'de' END AS pred_lang,
+  greatest(s_en, s_de, s_fr, s_es) AS lang_score
+FROM s
+""",
+        "quality": r"""
+WITH m AS (
+  SELECT doc_id, text,
+    len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS n_tokens,
+    len(list_distinct(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''))) AS n_distinct,
+    length(text) AS n_chars_m,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+    len(regexp_extract_all(lower(text), '\bthe\b')) + len(regexp_extract_all(lower(text), '\band\b'))
+      + len(regexp_extract_all(lower(text), '\bof\b')) + len(regexp_extract_all(lower(text), '\bis\b'))
+      + len(regexp_extract_all(lower(text), '\bwith\b')) AS stopword_hits
+  FROM documents)
+SELECT doc_id, n_tokens, n_chars_m,
+  floor((CASE WHEN n_tokens > 0 THEN CAST(n_chars_m AS DOUBLE) / n_tokens ELSE 0 END) * 10000 + 0.5) / 10000 AS mean_tok_len,
+  floor((CASE WHEN n_chars_m > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars_m ELSE 0 END) * 10000 + 0.5) / 10000 AS alpha_ratio,
+  floor((CASE WHEN n_chars_m > 0 THEN CAST(n_punct AS DOUBLE) / n_chars_m ELSE 0 END) * 10000 + 0.5) / 10000 AS punct_ratio,
+  floor((CASE WHEN n_tokens > 0 THEN CAST(n_distinct AS DOUBLE) / n_tokens ELSE 0 END) * 10000 + 0.5) / 10000 AS distinct_ratio,
+  stopword_hits,
+  floor((least(n_tokens / 50.0, 1.0) * 0.3
+        + floor((CASE WHEN n_chars_m > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars_m ELSE 0 END) * 10000 + 0.5) / 10000 * 0.3
+        + least(floor((CASE WHEN n_tokens > 0 THEN CAST(n_distinct AS DOUBLE) / n_tokens ELSE 0 END) * 10000 + 0.5) / 10000 * 2, 1.0) * 0.2
+        + least(stopword_hits / 5.0, 1.0) * 0.2) * 10000 + 0.5) / 10000 AS quality_score
+FROM m
+""",
+        "ann_cosine_topk": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(q.qv, e.v) /
+               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS score
+  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, rank, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 5
+""",
+        "ann_bucketed": """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+       + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
+       + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END) AS bucket
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(q.qv, e.v) /
+               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS score
+  FROM e JOIN q USING (bucket) WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, rank, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 3
+""",
+        "embedding_norms": """
+WITH e AS (
+  SELECT label, round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS nrm
+  FROM embeddings)
+SELECT label, count(*) AS n, round(avg(nrm), 4) AS avg_norm,
+       round(min(nrm), 4) AS min_norm, round(max(nrm), 4) AS max_norm
+FROM e GROUP BY label
+""",
+    }

@@ -32,15 +32,17 @@ def _tokens(text: Column) -> Column:
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """n-token shingles in document order (may repeat)."""
+    """n-token shingles in document order (may repeat). Documents shorter
+    than n tokens yield an empty array (guarded: Spark's ``sequence(1, k)``
+    with k < 1 would generate a *descending* sequence)."""
     toks = _tokens(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.transform(
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(F.size(toks) >= n, F.transform(
         idx,
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, (i + k).cast("int")) for k in range(n)]
         ),
-    )
+    )).otherwise(F.array().cast("array<string>"))
 
 
 def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -136,7 +138,13 @@ def jaccard_verify(
         .withColumn("uni", F.size("sh_a") + F.size("sh_b") - F.col("inter"))
         .withColumn(
             "jaccard",
-            F.round(F.when(F.col("uni") > 0, F.col("inter") / F.col("uni")).otherwise(1.0), 6),
+            # explicit HALF_UP (see textstats.round_half_up): small-integer
+            # ratios can land exactly on .5 boundaries
+            F.floor(
+                F.when(F.col("uni") > 0, F.col("inter") / F.col("uni")).otherwise(1.0) * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000,
         )
     )
     return j.where(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
