@@ -38,6 +38,8 @@ class CrawlConfig:
     host_salt_buckets: int = 8            # two-phase politeness rank salt (SURVEY §4.3.1)
     bloom_bits_per_key: int = 12          # seen-filter sizing (~0.3% FPP at k=5)
     bloom_num_hashes: int = 5
+    bloom_nbits_per_bucket: int = 1 << 17  # 16 KiB/bucket at sandbox scale; size
+    # to bits_per_key × expected keys/bucket in production (SURVEY §4.3.2)
     use_seen_bloom: bool = True           # prefilter before the exact anti-join
     shuffle_partitions: int = 32
 

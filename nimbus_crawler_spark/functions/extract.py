@@ -160,18 +160,25 @@ def extract_text(html: str | bytes) -> str:
     return "".join(out)
 
 
-def extract_links(html: str | bytes, base_url: str) -> list[str] | None:
-    """Reference ExtractURLs (extractor.go:32-76).
+def parse_page(html: str | bytes, base_url: str) -> tuple[str, list[str] | None]:
+    """One-pass parse stage: links then text off a SINGLE tree — the
+    reference's exact flow (parser.go:131-144: goquery doc parsed once,
+    ExtractURLs before ExtractText mutates it). Halves the per-page cost of
+    the dominant pandas UDF vs parsing twice."""
+    root = parse_html(html)
+    links = _links_from_tree(root, base_url)
+    _remove_tags(root, _REMOVED_TAGS)
+    out: list[str] = []
+    for body in _body_nodes(root):
+        sb: list[str] = []
+        _text_of(body, sb)
+        out.append("".join(sb).strip())
+    return "".join(out), links
 
-    Returns None when the base URL fails Go-style parsing
-    (extractor_test.go:124-128), else the ordered, deduped, canonicalized
-    link list. Runs on the *unmutated* document — the reference extracts
-    links before ExtractText removes elements (parser.go:140-144) — our
-    extract_text works on its own tree so ordering between the two is free.
-    """
+
+def _links_from_tree(root: _Node, base_url: str) -> list[str] | None:
     if parse_url(base_url) is None:
         return None
-    root = parse_html(html)
     anchors: list[_Node] = []
     _find_all(root, "a", anchors)
     seen: set[str] = set()
@@ -200,3 +207,15 @@ def extract_links(html: str | bytes, base_url: str) -> list[str] | None:
         seen.add(normalized)
         urls.append(normalized)
     return urls
+
+
+def extract_links(html: str | bytes, base_url: str) -> list[str] | None:
+    """Reference ExtractURLs (extractor.go:32-76).
+
+    Returns None when the base URL fails Go-style parsing
+    (extractor_test.go:124-128), else the ordered, deduped, canonicalized
+    link list. Runs on the *unmutated* document — the reference extracts
+    links before ExtractText removes elements (parser.go:140-144) — our
+    extract_text works on its own tree so ordering between the two is free.
+    """
+    return _links_from_tree(parse_html(html), base_url)

@@ -72,9 +72,9 @@ _PARSE_RESULT = T.StructType(
 
 @pandas_udf(_PARSE_RESULT)
 def parse_page_udf(html: pd.Series, url: pd.Series) -> pd.DataFrame:
-    """One pass per page: ExtractURLs then ExtractText, the reference's parse
-    stage order (parser.go:140-144). Dominant UDF cost — Arrow batch size is
-    tuned in session.py."""
+    """One tree parse per page: ExtractURLs then ExtractText, the reference's
+    parse stage order (parser.go:131-144). Dominant UDF cost — Arrow batch
+    size is tuned in session.py."""
     texts: list[str | None] = []
     links: list[list[str] | None] = []
     for h, u in zip(html, url):
@@ -82,8 +82,9 @@ def parse_page_udf(html: pd.Series, url: pd.Series) -> pd.DataFrame:
             texts.append(None)
             links.append(None)
             continue
-        links.append(_extract.extract_links(h, u))
-        texts.append(_extract.extract_text(h))
+        text, lk = _extract.parse_page(h, u)
+        texts.append(text)
+        links.append(lk)
     return pd.DataFrame({"text": texts, "links": links})
 
 

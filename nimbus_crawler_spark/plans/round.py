@@ -70,6 +70,23 @@ def run_round(
     state = store.read("url_state")
     domains = store.read("domains")
 
+    seen_filter = store.read("seen_filter")
+    if cfg.use_seen_bloom:
+        c = store.latest_commit()
+        if c is None or "seen_filter" not in c.get("tables", {}):
+            # Invariant: the Bloom filter must contain EVERY url in url_state
+            # (a miss is treated as certainly-new). First round with the
+            # filter enabled builds it from the full state; afterwards it is
+            # updated incrementally with each round's new children.
+            from ..operators.dedup import update_seen_filter
+
+            seen_filter = update_seen_filter(
+                state.select("url_hash", "bucket"),
+                seen_filter,
+                cfg.bloom_nbits_per_bucket,
+                cfg.bloom_num_hashes,
+            ).localCheckpoint(eager=True)
+
     frontier = state.where(F.col("status").isin("pending", "crawling"))
     frontier_pending = frontier.count()
     if frontier_pending == 0:
@@ -139,30 +156,27 @@ def run_round(
     clock = advance_clock(selected, key_col="pkey")
 
     # --- fetch = closed-world join (J4/S8) + content-type gate (F8) ---------
+    # consumed exactly once (into `hashed`); the failure path is derived by
+    # anti-joining `selected` against the materialized OK rows, so the big
+    # pages join runs a single time and html is materialized only in `hashed`
     fetched = selected.join(
         pages.select("url", "html", "lang"), "url", "left"
     ).withColumn("_ok", F.col("html").isNotNull() & (F.coalesce(F.col("lang"), F.lit("")) != "binary"))
 
-    failed_rows = fetched.where(~F.col("_ok")).withColumn(
-        "_retry", F.col("retry_count") + 1
-    )
-    ok_rows = fetched.where(F.col("_ok"))
+    # hash + keys computed map-side, where the html bytes already live
+    ok_rows = fetched.where(F.col("_ok")).withColumn(
+        "content_hash", F.sha2(F.col("html"), 256)
+    ).withColumn("html_key", html_key_udf("url"))
 
-    # global fetch order within the round = frontier priority (depth, seq);
-    # the single-partition window is bounded by Σ host budgets per round
-    # (politeness-limited), not by frontier size — see ENGINE.md scale notes.
+    # Ordering + dedup decisions run on a SLIM projection — html bytes never
+    # enter a window shuffle. The flags rejoin on `url` reuses the fetch
+    # join's hash partitioning, so only the slim side moves.
+    #
+    # crawl_seq: global fetch order = frontier priority (depth, seq). The
+    # single-partition row_number is over slim per-round rows (politeness-
+    # bounded), not the frontier; see ENGINE.md for the range-partitioned
+    # rank alternative at extreme round sizes.
     w_order = Window.orderBy("depth", "seq")
-    ok_rows = (
-        ok_rows.withColumn(
-            "crawl_seq", F.row_number().over(w_order) + F.lit(fetched_total) - 1
-        )
-        .withColumn("content_hash", F.sha2(F.col("html"), 256))
-        .withColumn("html_key", html_key_udf("url"))
-        .localCheckpoint(eager=True)
-    )
-    n_fetched = ok_rows.count()
-
-    # --- content dedup (D3/J3): prior parsed hashes + intra-round first-wins
     prior_hashes = (
         state.where(F.col("status") == "parsed")
         .select("content_hash")
@@ -170,10 +184,23 @@ def run_round(
         .withColumn("_prior_dup", F.lit(True))
     )
     w_hash = Window.partitionBy("content_hash").orderBy("crawl_seq")
-    hashed = (
-        ok_rows.withColumn("_hash_rn", F.row_number().over(w_hash))
+    flags = (
+        ok_rows.select("url", "depth", "seq", "content_hash")
+        .withColumn("crawl_seq", F.row_number().over(w_order) + F.lit(fetched_total) - 1)
+        .withColumn("_hash_rn", F.row_number().over(w_hash))
         .join(prior_hashes, "content_hash", "left")
         .withColumn("dup_content", (F.col("_hash_rn") > 1) | F.col("_prior_dup").isNotNull())
+        .select("url", "crawl_seq", "dup_content")
+    )
+    hashed = (
+        ok_rows.join(flags, "url")
+        .withColumn("html_bytes", F.length("html").cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    n_fetched = hashed.count()
+
+    failed_rows = selected.join(hashed.select("url"), "url", "left_anti").withColumn(
+        "_retry", F.col("retry_count") + 1
     )
 
     dup_rows = hashed.where(F.col("dup_content"))
@@ -185,7 +212,7 @@ def run_round(
         .withColumn("text", F.col("_parsed.text"))
         .withColumn("links", F.col("_parsed.links"))
         .withColumn("text_key", text_key_udf("url"))
-        .drop("_parsed")
+        .drop("_parsed", "html", "lang")  # html stays only in `hashed`
         .localCheckpoint(eager=True)  # parse once; reused by results, children, state
     )
 
@@ -208,10 +235,22 @@ def run_round(
             )
         )
         w_child = Window.partitionBy("url").orderBy("depth", "seq")
-        children = (
+        deduped = (
             exploded.withColumn("_rn", F.row_number().over(w_child))
             .where(F.col("_rn") == 1)
-            .join(state.select("url"), "url", "left_anti")  # J1 exact anti-join
+            .withColumn("url_hash", F.xxhash64("url"))
+            .withColumn("bucket", F.pmod(F.xxhash64("url"), F.lit(cfg.state_buckets)).cast("int"))
+        )
+        if cfg.use_seen_bloom:
+            # J1 at scale: Bloom-negative children skip the exact anti-join
+            # entirely; positives are verified exactly — no false drops.
+            from ..operators.dedup import filter_unseen
+
+            unseen = filter_unseen(deduped, state, seen_filter)
+        else:
+            unseen = deduped.join(state.select("url"), "url", "left_anti")
+        children = (
+            unseen
             .select(
                 "url",
                 F.col("host"),
@@ -308,7 +347,7 @@ def run_round(
             "text",
             "text_key",
             "n_links",
-            F.length("html").cast("long").alias("html_bytes"),
+            F.col("html_bytes"),
         )
     )
 
@@ -321,31 +360,46 @@ def run_round(
         F.col("_retry").alias("retry_count"),
     )
 
-    lineage = (
-        fetched.groupBy(F.spark_partition_id().alias("partition_id"))
-        .agg(
-            F.count("*").alias("rows"),
-            F.countDistinct("host").alias("distinct_hosts"),
-            F.coalesce(F.sum(F.length("html")), F.lit(0)).cast("long").alias("bytes"),
+    def _stage_lineage(df, stage, bytes_col):
+        return (
+            df.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(
+                F.count("*").alias("rows"),
+                F.countDistinct("host").alias("distinct_hosts"),
+                F.coalesce(F.sum(bytes_col), F.lit(0)).cast("long").alias("bytes"),
+            )
+            .select(
+                F.lit(r).cast("long").alias("round"),
+                F.lit(stage).alias("stage"),
+                "partition_id",
+                "rows",
+                "distinct_hosts",
+                "bytes",
+            )
         )
-        .select(
-            F.lit(r).cast("long").alias("round"),
-            F.lit("fetch").alias("stage"),
-            "partition_id",
-            "rows",
-            "distinct_hosts",
-            "bytes",
-        )
+
+    lineage = _stage_lineage(hashed, "fetch_ok", F.col("html_bytes")).unionByName(
+        _stage_lineage(failed_rows, "fetch_fail", F.lit(0))
     )
 
     scheduled = selected.count()
     fetched_total += n_fetched
+    snapshots = {
+        "url_state": new_state.select(*_STATE_COLS),
+        "domains": new_domains_state,
+    }
+    if cfg.use_seen_bloom:
+        from ..operators.dedup import update_seen_filter
+
+        snapshots["seen_filter"] = update_seen_filter(
+            children.select("url_hash", "bucket"),
+            seen_filter,
+            cfg.bloom_nbits_per_bucket,
+            cfg.bloom_num_hashes,
+        )
     store.commit(
         r,
-        snapshots={
-            "url_state": new_state.select(*_STATE_COLS),
-            "domains": new_domains_state,
-        },
+        snapshots=snapshots,
         appends={"crawl_results": results, "quarantine": quarantine, "lineage": lineage},
         meta={
             "frontier_pending": frontier_pending,

@@ -106,7 +106,20 @@ LINEAGE_SCHEMA = T.StructType(
     ]
 )
 
+# Partitioned Bloom seen-filter rows (SURVEY §4.3.2); one bitset per
+# bucket(url_hash) partition, persisted across rounds.
+SEEN_FILTER_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("nbits", T.IntegerType(), False),
+        T.StructField("k", T.IntegerType(), False),
+        T.StructField("n_keys", T.LongType(), False),
+        T.StructField("bits", T.BinaryType(), False),
+    ]
+)
+
 EMPTY_SCHEMAS = {
+    "seen_filter": SEEN_FILTER_SCHEMA,
     "url_state": URL_STATE_SCHEMA,
     "domains": DOMAINS_SCHEMA,
     "crawl_results": CRAWL_RESULTS_SCHEMA,

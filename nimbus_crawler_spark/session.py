@@ -70,6 +70,13 @@ def build_session(
     `domains` broadcast join (SURVEY §2.4 J2) is chosen by size, not forced.
     """
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+    # shuffle/spill on tmpfs when available: local-mode shuffle files on a
+    # throttled virtio disk serialize high-parallelism stages (on a real
+    # cluster this is the executors' local NVMe)
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS")
+    if not local_dir and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/nimbus-spark-local"
+        os.makedirs(local_dir, exist_ok=True)
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -84,6 +91,8 @@ def build_session(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
     )
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -81,9 +81,18 @@ def make_corpus(
     binary_rows: int = 1,
     robots_hosts_frac: float = 0.6,
     chain_beyond_depth: int = 5,
+    para_words: tuple[int, int] = (8, 30),
 ) -> Corpus:
     rng = random.Random(seed)
     base_ts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+
+    # paragraph pool: body text is drawn from 512 pre-generated paragraphs —
+    # O(1) per page instead of O(words), which is what makes multi-100k-page
+    # bench corpora cheap. Page HTML stays unique via the url-derived title.
+    para_pool = [_para(rng, rng.randint(*para_words)) for _ in range(512)]
+
+    def pick_para() -> str:
+        return para_pool[rng.randrange(len(para_pool))]
 
     hosts = [f"host{i:02d}.example" for i in range(n_hosts)]
     host_pages: dict[str, int] = {
@@ -172,7 +181,7 @@ def make_corpus(
     for url in all_urls:
         h = url.split("/")[2]
         title = f"T-{url.split('//', 1)[1]}"
-        para = _para(rng, rng.randint(8, 30))
+        para = pick_para()
         emit(url, title, para, page_links.get(url, []), noise=(rng.random() < 0.3))
 
     # duplicate-content pairs: identical html bytes under two distinct urls
@@ -180,7 +189,7 @@ def make_corpus(
     for d in range(dup_content_pairs):
         h = hosts[d % len(hosts)]
         u1, u2 = f"https://{h}/dup/{d}a", f"https://{h}/dup/{d}b"
-        html, text = _page_html(f"DUP-{d}", _para(rng, 12), [], noise=False)
+        html, text = _page_html(f"DUP-{d}", pick_para(), [], noise=False)
         emit(u1, "", "", [], html_override=html, text_override=text)
         emit(u2, "", "", [], html_override=html, text_override=text)
         dup_urls.append((u1, u2))
@@ -192,7 +201,7 @@ def make_corpus(
     for h in hosts[: dup_content_pairs if dup_content_pairs <= len(hosts) else len(hosts)]:
         root = url_of[(h, 0)]
         title = f"T-{root.split('//', 1)[1]}"
-        para = _para(rng, 10)
+        para = pick_para()
         html, text = _page_html(title, para, page_links[root], noise=False)
         by_url[root]["html"], by_url[root]["text"] = html, text
 
@@ -212,7 +221,7 @@ def make_corpus(
         page_links[url_of[(h, 0)]].append((bu, f"bin{b}"))
         root = url_of[(h, 0)]
         title = f"T-{root.split('//', 1)[1]}"
-        para = _para(rng, 10)
+        para = pick_para()
         html, text = _page_html(title, para, page_links[root], noise=False)
         by_url[root]["html"], by_url[root]["text"] = html, text
 
@@ -244,10 +253,11 @@ def make_corpus(
 
     # ensure canonical child forms of roots exist as pages too: children link
     # to canonicalize('https://h/') == 'https://h' — distinct raw string
+    existing_urls = {p["url"] for p in pages}
     for h in hosts:
         raw_root = f"https://{h}/"
         canon_root = canonicalize(raw_root)
-        if canon_root != raw_root and canon_root not in {p["url"] for p in pages}:
+        if canon_root != raw_root and canon_root not in existing_urls:
             src = by_url[raw_root]
             pages.append(
                 {

@@ -98,14 +98,31 @@ class SnapshotStore:
         tables = dict(prev["tables"]) if prev else {}
         all_appends = {k: list(v) for k, v in (prev.get("appends", {}) if prev else {}).items()}
 
+        # Independent tables write as concurrent Spark jobs (the scheduler
+        # interleaves their stages); atomicity still comes solely from the
+        # marker rename below, so a failure mid-write leaves no visible state.
+        from concurrent.futures import ThreadPoolExecutor
+
+        jobs: list[tuple[str, str, object]] = []
         for name, df in (snapshots or {}).items():
             rel = f"{name}/v{round_idx + 1:08d}"
-            df.write.mode("overwrite").parquet(str(self.warehouse / rel))
             tables[name] = rel
+            jobs.append((name, rel, df))
         for name, df in (appends or {}).items():
             rel = f"{name}/r{round_idx + 1:08d}"
-            df.write.mode("overwrite").parquet(str(self.warehouse / rel))
             all_appends.setdefault(name, []).append(rel)
+            jobs.append((name, rel, df))
+
+        def write(job):
+            _name, rel, df = job
+            df.write.mode("overwrite").parquet(str(self.warehouse / rel))
+
+        if len(jobs) > 1:
+            with ThreadPoolExecutor(max_workers=min(len(jobs), 6)) as ex:
+                list(ex.map(write, jobs))
+        else:
+            for j in jobs:
+                write(j)
 
         marker = {
             "round": round_idx,

@@ -1,0 +1,180 @@
+"""Operator-level tests on tiny DataFrames: dedup family, similarity,
+textstats — brute-force Python oracles recomputed in-test."""
+
+import itertools
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+        (2, "completely different content about spark engines"),
+        (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (4, "another unrelated short text"),
+        (5, ""),                                               # empty doc
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _shingles(text, n=3):
+    toks = [t for t in text.lower().split() if t]
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _jaccard(a, b):
+    u = a | b
+    return (len(a & b) / len(u)) if u else 1.0
+
+
+class TestExactDedup:
+    def test_groups(self, spark, docs):
+        from nimbus_crawler_spark.operators.textdedup import exact_dedup_groups
+
+        got = {r["keeper_doc_id"]: r["n_docs"] for r in exact_dedup_groups(docs).collect()}
+        assert got[0] == 2  # docs 0 and 3 identical
+        assert got[1] == 1
+
+    def test_keep_first(self, spark, docs):
+        from nimbus_crawler_spark.operators.textdedup import exact_dedup_keep_first
+
+        kept = {r["doc_id"] for r in exact_dedup_keep_first(docs).collect()}
+        assert 0 in kept and 3 not in kept
+        assert kept == {0, 1, 2, 4, 5}
+
+
+class TestMinhash:
+    def test_near_dups_found_and_verified(self, spark, docs):
+        from nimbus_crawler_spark.operators.textdedup import minhash_dedup_pairs
+
+        pairs = {
+            (r["a"], r["b"]): r["jaccard"]
+            for r in minhash_dedup_pairs(docs, threshold=0.3, num_hashes=16, bands=8).collect()
+        }
+        assert (0, 3) in pairs and pairs[(0, 3)] == 1.0  # identical docs always pair
+        assert (0, 1) in pairs  # near-dup pair caught
+        expected = round(_jaccard(_shingles("the quick brown fox jumps over the lazy dog"),
+                                  _shingles("the quick brown fox jumps over the lazy cat")), 6)
+        assert abs(pairs[(0, 1)] - expected) < 1e-9
+        assert not any({a, b} == {0, 2} for a, b in pairs)
+
+    def test_signature_shape(self, spark, docs):
+        from nimbus_crawler_spark.operators.textdedup import minhash_signatures
+
+        sigs = minhash_signatures(docs.where("doc_id in (0,2)"), num_hashes=8).collect()
+        assert len(sigs) == 16  # 2 docs × 8 perms
+        assert all(len(r["sig"]) == 32 for r in sigs)  # md5 hex
+
+
+class TestSimhash:
+    def test_identical_docs_same_fingerprint(self, spark, docs):
+        from nimbus_crawler_spark.operators.textdedup import simhash_fingerprints
+
+        fp = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs.where("doc_id != 5")).collect()}
+        assert fp[0] == fp[3]
+        # near-dups closer (hamming) than unrelated docs
+        ham = lambda a, b: bin(a ^ b).count("1")
+        assert ham(fp[0], fp[1]) < ham(fp[0], fp[2])
+
+    def test_near_pairs(self, spark, docs):
+        from nimbus_crawler_spark.operators.textdedup import simhash_near_pairs
+
+        pairs = {(r["a"], r["b"]): r["hamming"] for r in
+                 simhash_near_pairs(docs.where("doc_id != 5"), max_hamming=4).collect()}
+        assert pairs.get((0, 3)) == 0
+
+
+class TestNgramJaccard:
+    def test_pairs(self, spark, docs):
+        from nimbus_crawler_spark.operators.textdedup import ngram_jaccard_pairs
+
+        pairs = {(r["a"], r["b"]) for r in
+                 ngram_jaccard_pairs(docs, threshold=0.3, max_doc_freq=10).collect()}
+        assert (0, 1) in pairs and (0, 3) in pairs
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        vecs = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0, 0.0]),
+            (4, [0.7, 0.7, 0.0, 0.0]),
+        ]
+        return spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+
+    def test_bruteforce_topk(self, spark, emb):
+        from nimbus_crawler_spark.operators.similarity import cosine_topk_bruteforce
+
+        got = cosine_topk_bruteforce(emb, emb.where("vec_id = 0"), k=2).collect()
+        assert [(r["neighbor_id"], r["rank"]) for r in got] == [(1, 1), (4, 2)]
+        # verify score against math
+        assert abs(got[0]["score"] - round(0.9 / math.sqrt(0.82), 6)) < 1e-9
+
+    def test_bucketed_restricts_candidates(self, spark, emb):
+        from nimbus_crawler_spark.operators.similarity import cosine_topk_bucketed
+
+        got = cosine_topk_bucketed(emb, emb.where("vec_id = 0"), k=4, bits=2).collect()
+        ids = {r["neighbor_id"] for r in got}
+        assert 3 not in ids  # opposite sign bucket pruned
+        assert 1 in ids
+
+
+class TestTextstats:
+    def test_token_counts(self, spark, docs):
+        from nimbus_crawler_spark.operators.textstats import token_counts
+
+        got = {r["doc_id"]: r for r in token_counts(docs).collect()}
+        assert got[0]["n_ws_tokens"] == 9
+        assert got[5]["n_ws_tokens"] == 0
+
+    def test_lang_id(self, spark):
+        from nimbus_crawler_spark.operators.textstats import lang_id
+
+        rows = [
+            (0, "the cat and the dog is with me"),
+            (1, "der hund und die katze ist mit mir"),
+            (2, "xyzzy plugh"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r["pred_lang"] for r in lang_id(df).collect()}
+        assert got[0] == "en" and got[1] == "de" and got[2] == "und"
+
+    def test_quality_empty_doc(self, spark, docs):
+        from nimbus_crawler_spark.operators.textstats import quality_metrics
+
+        got = {r["doc_id"]: r for r in quality_metrics(docs).collect()}
+        assert got[5]["n_tokens"] == 0 and got[5]["quality_score"] == 0.0
+        assert got[0]["quality_score"] > 0.3
+
+
+class TestMultimodal:
+    def test_feature_plumbing(self, spark, docs):
+        from nimbus_crawler_spark.operators.multimodal import (
+            decode_media,
+            extract_features,
+        )
+
+        media = docs.where("doc_id < 3").select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.lit("x/i").alias("mime"),
+            F.encode("text", "utf-8").alias("payload"),
+            F.lit(None).cast("string").alias("meta_json"),
+        )
+        feats = {r["media_id"]: r for r in extract_features(media).collect()}
+        assert feats[0]["n_bytes"] == len("the quick brown fox jumps over the lazy dog")
+        assert len(feats[0]["histogram"]) == 16
+        assert feats[0]["byte_entropy"] > 0
+
+    def test_real_codec_is_stubbed(self):
+        from nimbus_crawler_spark.operators.multimodal import decode_media
+
+        with pytest.raises(NotImplementedError):
+            decode_media(b"x", "image", codec="pillow")
