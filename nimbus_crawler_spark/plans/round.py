@@ -116,7 +116,12 @@ def run_round(
         .select(
             F.col("pkey").alias("host"),
             F.col("robots_body"),
-            crawl_delay_udf(F.col("robots_body")).alias("crawl_delay_ms"),
+            (
+                crawl_delay_udf(F.col("robots_body"))
+                if cfg.respect_robots_txt
+                # robots disabled ⇒ default pacing (crawler.go:152-169)
+                else F.lit(cfg.default_crawl_delay_ms).cast("int")
+            ).alias("crawl_delay_ms"),
             F.lit(0).cast("long").alias("next_free_ms"),
             F.lit(r).cast("long").alias("first_seen_round"),
         )

@@ -82,9 +82,16 @@ def simulate(
         d = domains.get(pkey)
         if d is None:
             body = robots_bodies.get(pkey)
+            # robots checking disabled ⇒ reference paces at the default delay
+            # (crawler.go:152-169: IsAllowed — and its delay — is skipped)
+            delay = (
+                extract_crawl_delay_ms(body)
+                if cfg.respect_robots_txt
+                else cfg.default_crawl_delay_ms
+            )
             d = {
                 "robots_body": body,
-                "crawl_delay_ms": extract_crawl_delay_ms(body),
+                "crawl_delay_ms": delay,
                 "next_free_ms": 0,
                 "first_seen_round": r,
             }

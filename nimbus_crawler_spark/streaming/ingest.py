@@ -58,6 +58,8 @@ def ingest_available_now(
     pages_out_dir: str,
     stats_out_dir: str,
     checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
 ) -> None:
     """Drain everything currently available, then stop (incremental batch).
 
@@ -77,7 +79,7 @@ def ingest_available_now(
         .start()
     )
     q2 = (
-        arrival_stats(stream)
+        arrival_stats(stream, window=window, watermark=watermark)
         .writeStream.outputMode("append")
         .format("parquet")
         .option("path", stats_out_dir)
