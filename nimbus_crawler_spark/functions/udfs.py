@@ -34,22 +34,28 @@ def registrable_domain_udf(hosts: pd.Series) -> pd.Series:
     return hosts.map(lambda h: _urlnorm.registrable_domain(h) if h is not None else None)
 
 
+# Worker-global robots parse cache: bodies repeat per host across Arrow
+# batches and across rounds; python workers are reused, so memoizing at
+# module scope parses each distinct robots.txt once per worker process.
+_ROBOTS_CACHE: dict[str, _robots.RobotsData] = {}
+_ROBOTS_CACHE_MAX = 100_000
+
+
 @pandas_udf(T.BooleanType())
 def robots_allowed_udf(bodies: pd.Series, urls: pd.Series) -> pd.Series:
-    """Per-URL robots gate (F5). Bodies repeat per host inside a batch, so the
-    parse is memoized per distinct body — each Arrow batch parses each robots
-    file once, not once per row."""
-    cache: dict[str, _robots.RobotsData] = {}
+    """Per-URL robots gate (F5)."""
 
     def one(body: str | None, url: str | None) -> bool:
         if not body:
             return True
         p = _urlnorm.parse_url(url) if url else None
         request_uri = p.request_uri() if p else (url or "/")
-        data = cache.get(body)
+        data = _ROBOTS_CACHE.get(body)
         if data is None:
+            if len(_ROBOTS_CACHE) >= _ROBOTS_CACHE_MAX:
+                _ROBOTS_CACHE.clear()
             data = _robots.parse_robots(body)
-            cache[body] = data
+            _ROBOTS_CACHE[body] = data
         return data.test_agent(request_uri, _robots.CRAWLER_NAME)
 
     return pd.Series([one(b, u) for b, u in zip(bodies, urls)], dtype=bool)

@@ -38,11 +38,15 @@ def cached_corpus_path(
     fanout: int = 6,
     zipf_s: float = 0.5,
     para_words: tuple[int, int] = (20, 60),
+    heavy_dom: int = 0,
     seed: int = 42,
     base_dir: str = "/tmp/nimbus-bench",
 ) -> str:
     """Generate-once parquet cache of a deterministic bench corpus."""
-    key = f"pages-s{seed}-h{n_hosts}-p{pages_per_host}-f{fanout}-z{zipf_s}-w{para_words[0]}x{para_words[1]}"
+    key = (
+        f"pages-s{seed}-h{n_hosts}-p{pages_per_host}-f{fanout}-z{zipf_s}"
+        f"-w{para_words[0]}x{para_words[1]}-d{heavy_dom}"
+    )
     path = os.path.join(base_dir, key)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         corpus = make_corpus(
@@ -52,6 +56,7 @@ def cached_corpus_path(
             fanout=fanout,
             zipf_s=zipf_s,
             para_words=para_words,
+            heavy_dom=heavy_dom,
             dup_content_pairs=max(2, n_hosts // 50),
             binary_rows=max(1, n_hosts // 100),
         )
@@ -190,4 +195,37 @@ def bench_mega_round(spark: SparkSession, pages_path: str, warehouse: str) -> di
         "fetched": stats["fetched"],
         "wall_sec": round(wall, 2),
         "urls_per_sec": round(stats["fetched"] / wall, 1),
+    }
+
+
+def bench_parse_stage(spark: SparkSession, pages_path: str, sample_mod: int = 3) -> dict:
+    """Parse-UDF stage in isolation (scan → Arrow → parse_page → agg): the
+    dominant compute of a production fetch round, measured end-to-end.
+
+    Sampled by url-hash (partition-preserving) to bound runtime; the sample
+    is deterministic so low/high parallelism runs see identical input."""
+    import time as _time
+
+    from ..functions.udfs import parse_page_udf
+
+    df = (
+        spark.read.parquet(pages_path)
+        .where(F.pmod(F.xxhash64("url"), F.lit(sample_mod)) == 0)
+        .where(F.col("lang") == "en")
+    )
+    t0 = _time.perf_counter()
+    row = (
+        df.withColumn("pp", parse_page_udf("html", "url"))
+        .select(
+            F.length(F.col("pp.text")).alias("tl"),
+            F.size(F.col("pp.links")).alias("nl"),
+        )
+        .agg(F.sum("tl").alias("chars"), F.sum("nl").alias("links"), F.count("*").alias("pages"))
+        .collect()[0]
+    )
+    wall = _time.perf_counter() - t0
+    return {
+        "pages": row["pages"],
+        "wall_sec": round(wall, 2),
+        "pages_per_sec": round(row["pages"] / wall, 1),
     }

@@ -168,12 +168,28 @@ def run_round(
         pages.select("url", "html", "lang"), "url", "left"
     ).withColumn("_ok", F.col("html").isNotNull() & (F.coalesce(F.col("lang"), F.lit("")) != "binary"))
 
-    # hash + keys computed map-side, where the html bytes already live
-    ok_rows = fetched.where(F.col("_ok")).withColumn(
-        "content_hash", F.sha2(F.col("html"), 256)
-    ).withColumn("html_key", html_key_udf("url"))
+    # hash / keys / parse all in ONE map-side projection over the fetch join
+    # output: the html bytes cross to the Python workers exactly once (Spark
+    # fuses the pandas UDFs in a single ArrowEvalPython node), sha2 runs where
+    # the bytes live, and html is dropped before anything materializes.
+    # Divergence note: the reference dedups content BEFORE parsing
+    # (parser.go:111-128) to save the parse; here duplicate pages are parsed
+    # and their parse output discarded — identical results, and the dup
+    # fraction is bounded, while re-shuffling html to parse after the dedup
+    # verdict would cost far more at scale.
+    ok_rows = (
+        fetched.where(F.col("_ok"))
+        .withColumn("content_hash", F.sha2(F.col("html"), 256))
+        .withColumn("html_bytes", F.length("html").cast("long"))
+        .withColumn("html_key", html_key_udf("url"))
+        .withColumn("text_key", text_key_udf("url"))
+        .withColumn("_parsed", parse_page_udf("html", "url"))
+        .withColumn("text", F.col("_parsed.text"))
+        .withColumn("links", F.col("_parsed.links"))
+        .drop("_parsed", "html", "lang")
+    )
 
-    # Ordering + dedup decisions run on a SLIM projection — html bytes never
+    # Ordering + dedup decisions run on a SLIM branch — page payloads never
     # enter a window shuffle. The flags rejoin on `url` reuses the fetch
     # join's hash partitioning, so only the slim side moves.
     #
@@ -189,19 +205,25 @@ def run_round(
         .withColumn("_prior_dup", F.lit(True))
     )
     w_hash = Window.partitionBy("content_hash").orderBy("crawl_seq")
+    # slim branch joins page *hashes* (computed map-side on the scan) — the
+    # html bytes shuffle only in the parse branch above
+    page_hashes = pages.select(
+        "url", F.sha2(F.col("html"), 256).alias("content_hash"), "lang"
+    )
     flags = (
-        ok_rows.select("url", "depth", "seq", "content_hash")
+        selected.select("url", "depth", "seq")
+        .join(page_hashes, "url")
+        .where(F.coalesce(F.col("lang"), F.lit("")) != "binary")
+        .select("url", "depth", "seq", "content_hash")
         .withColumn("crawl_seq", F.row_number().over(w_order) + F.lit(fetched_total) - 1)
         .withColumn("_hash_rn", F.row_number().over(w_hash))
         .join(prior_hashes, "content_hash", "left")
         .withColumn("dup_content", (F.col("_hash_rn") > 1) | F.col("_prior_dup").isNotNull())
         .select("url", "crawl_seq", "dup_content")
     )
-    hashed = (
-        ok_rows.join(flags, "url")
-        .withColumn("html_bytes", F.length("html").cast("long"))
-        .localCheckpoint(eager=True)
-    )
+    # the single big materialization of the round: parsed + flagged rows,
+    # payload columns are text/links only (html already dropped)
+    hashed = ok_rows.join(flags, "url").localCheckpoint(eager=True)
     n_fetched = hashed.count()
 
     failed_rows = selected.join(hashed.select("url"), "url", "left_anti").withColumn(
@@ -209,17 +231,7 @@ def run_round(
     )
 
     dup_rows = hashed.where(F.col("dup_content"))
-    fresh_rows = hashed.where(~F.col("dup_content"))
-
-    # --- parse stage (P7/P8 pandas UDF, S12, P6) ----------------------------
-    parsed = (
-        fresh_rows.withColumn("_parsed", parse_page_udf("html", "url"))
-        .withColumn("text", F.col("_parsed.text"))
-        .withColumn("links", F.col("_parsed.links"))
-        .withColumn("text_key", text_key_udf("url"))
-        .drop("_parsed", "html", "lang")  # html stays only in `hashed`
-        .localCheckpoint(eager=True)  # parse once; reused by results, children, state
-    )
+    parsed = hashed.where(~F.col("dup_content"))
 
     # --- children (F10/F11/F12, D2, J1) -------------------------------------
     if backpressured:
@@ -256,7 +268,7 @@ def run_round(
             unseen = deduped.join(state.select("url"), "url", "left_anti")
         children = (
             unseen
-            .select(
+            .select(  # noqa: E131
                 "url",
                 F.col("host"),
                 F.col("depth").cast("int"),
@@ -270,7 +282,14 @@ def run_round(
                 F.lit(r).cast("long").alias("discovered_round"),
             )
         )
-        children = _with_keys(children, cfg.state_buckets).select(*_STATE_COLS)
+        # materialized once: consumed by BOTH the url_state merge and the
+        # seen_filter incremental update (otherwise the explode→dedup→bloom
+        # pipeline runs twice)
+        children = (
+            _with_keys(children, cfg.state_buckets)
+            .select(*_STATE_COLS)
+            .localCheckpoint(eager=True)
+        )
 
     # --- state updates (U1-U6) ----------------------------------------------
     def as_state(df: DataFrame, **overrides) -> DataFrame:
@@ -302,6 +321,8 @@ def run_round(
         status=F.lit("skipped"),
         html_key=F.col("html_key"),
         content_hash=F.lit(None).cast("string"),
+        # dup pages' text is never stored (UpdateURLStatus only, parser.go:123)
+        text_key=F.lit(None).cast("string"),
     )
     upd_parsed = as_state(
         parsed,

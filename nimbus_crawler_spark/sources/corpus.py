@@ -48,9 +48,22 @@ def _para(rng: random.Random, n: int) -> str:
     return " ".join(rng.choice(_WORDS) for _ in range(n))
 
 
-def _page_html(title: str, para: str, links: list[tuple[str, str]], noise: bool) -> tuple[bytes, str]:
-    """Build well-formed HTML5 and its golden extracted text."""
+def _page_html(
+    title: str,
+    para: str,
+    links: list[tuple[str, str]],
+    noise: bool,
+    heavy_dom: int = 0,
+) -> tuple[bytes, str]:
+    """Build well-formed HTML5 and its golden extracted text.
+
+    ``heavy_dom`` appends N extra element nodes (realistic pages are
+    DOM-heavy, and parse cost scales with node count, not byte count)."""
     li = "".join(f'<li><a href="{href}">{anchor}</a></li>' for href, anchor in links)
+    heavy = "".join(
+        f'<div class="s{k}"><span>seg{k}</span><em>x</em></div>' for k in range(heavy_dom)
+    )
+    heavy_text = "".join(f"seg{k}x" for k in range(heavy_dom))
     noise_html = (
         '<script>var x = "SECRET";</script><style>.x{color:red}</style>'
         '<noscript>NOJS</noscript><iframe>FRAME</iframe>'
@@ -61,11 +74,11 @@ def _page_html(title: str, para: str, links: list[tuple[str, str]], noise: bool)
     )
     html = (
         f"<html><head><title>HEAD-{title}</title><meta charset=\"utf-8\"></head>"
-        f"<body><h1>{title}</h1><p>{para}</p>{noise_html}<ul>{li}</ul></body></html>"
+        f"<body><h1>{title}</h1><p>{para}</p>{noise_html}{heavy}<ul>{li}</ul></body></html>"
     )
     # golden text: body text nodes in document order, concatenated, TrimSpaced.
     noise_text = "jsmailfragtel" if noise else ""
-    text = f"{title}{para}{noise_text}" + "".join(a for _, a in links)
+    text = f"{title}{para}{noise_text}{heavy_text}" + "".join(a for _, a in links)
     return html.encode("utf-8"), text.strip()
 
 
@@ -82,6 +95,7 @@ def make_corpus(
     robots_hosts_frac: float = 0.6,
     chain_beyond_depth: int = 5,
     para_words: tuple[int, int] = (8, 30),
+    heavy_dom: int = 0,
 ) -> Corpus:
     rng = random.Random(seed)
     base_ts = datetime(2026, 1, 1, tzinfo=timezone.utc)
@@ -167,7 +181,7 @@ def make_corpus(
         if html_override is not None:
             html, text = html_override, text_override
         else:
-            html, text = _page_html(title, para, links, noise)
+            html, text = _page_html(title, para, links, noise, heavy_dom)
         pages.append(
             {
                 "url": url,
@@ -202,7 +216,7 @@ def make_corpus(
         root = url_of[(h, 0)]
         title = f"T-{root.split('//', 1)[1]}"
         para = pick_para()
-        html, text = _page_html(title, para, page_links[root], noise=False)
+        html, text = _page_html(title, para, page_links[root], noise=False, heavy_dom=heavy_dom)
         by_url[root]["html"], by_url[root]["text"] = html, text
 
     # content-type reject rows (lang='binary'): linked but never parseable
@@ -222,7 +236,7 @@ def make_corpus(
         root = url_of[(h, 0)]
         title = f"T-{root.split('//', 1)[1]}"
         para = pick_para()
-        html, text = _page_html(title, para, page_links[root], noise=False)
+        html, text = _page_html(title, para, page_links[root], noise=False, heavy_dom=heavy_dom)
         by_url[root]["html"], by_url[root]["text"] = html, text
 
     # robots.txt rows (FIXTURES.md §1: special rows)
