@@ -296,6 +296,7 @@ def _messy_url():
 
 
 def _q_canonicalize(spark, sf_dir):
+    _ensure(spark)
     from nimbus_crawler_spark.functions.udfs import canonicalize_udf
 
     docs = _t(spark, sf_dir, "documents")
@@ -314,6 +315,7 @@ def _simple_url():
 
 
 def _q_object_keys(spark, sf_dir):
+    _ensure(spark)
     from nimbus_crawler_spark.functions.udfs import html_key_udf, text_key_udf
 
     docs = _t(spark, sf_dir, "documents")
@@ -338,6 +340,7 @@ def _robots_url():
 
 
 def _q_robots_gate(spark, sf_dir):
+    _ensure(spark)
     from nimbus_crawler_spark.functions.udfs import crawl_delay_udf, robots_allowed_udf
 
     docs = _t(spark, sf_dir, "documents")
@@ -349,6 +352,7 @@ def _q_robots_gate(spark, sf_dir):
 
 
 def _q_extract_roundtrip(spark, sf_dir):
+    _ensure(spark)
     # text-extraction invariant: html built from entity-free text must
     # extract back byte-identically (oracle: the text column itself)
     from nimbus_crawler_spark.functions.udfs import parse_page_udf
@@ -375,6 +379,7 @@ def _q_extract_roundtrip(spark, sf_dir):
 
 
 def _q_hostname_registrable(spark, sf_dir):
+    _ensure(spark)
     from nimbus_crawler_spark.functions.udfs import hostname_udf, registrable_domain_udf
 
     docs = _t(spark, sf_dir, "documents")

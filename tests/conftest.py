@@ -5,6 +5,6 @@ import pytest
 def spark():
     from nimbus_crawler_spark.session import build_session
 
-    s = build_session(app_name="nimbus-tests", master="local[4]", shuffle_partitions=8)
+    s = build_session(app_name="nimbus-tests", master="local[8]", shuffle_partitions=4)
     yield s
     s.stop()
