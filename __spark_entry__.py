@@ -128,7 +128,9 @@ def _q_domain_fanout(spark, sf_dir):
         .agg(
             F.count("*").alias("n_docs"),
             F.countDistinct("lang").alias("n_langs"),
-            F.sum("n_chars").alias("total_chars"),
+            # cast: DuckDB types sum(INTEGER) as HUGEINT; pin both engines
+            # to int64 so the driver's typed value-hash matches
+            F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
 
@@ -185,7 +187,9 @@ def _q_events_sessionize(spark, sf_dir):
         "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     )
     return marked.groupBy("user_id").agg(
-        F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events")
+        # cast: keep int64 on both engines (DuckDB sum(INTEGER) → HUGEINT)
+        F.sum("new_session").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
     )
 
 
@@ -217,6 +221,14 @@ def _q_dedup_simhash(spark, sf_dir):
     from nimbus_crawler_spark.operators.textdedup import simhash_fingerprints
 
     return simhash_fingerprints(_t(spark, sf_dir, "documents"), bits=16)
+
+
+def _q_simhash_near_pairs(spark, sf_dir):
+    from nimbus_crawler_spark.operators.textdedup import simhash_near_pairs
+
+    return simhash_near_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=3, bits=16, bands=4
+    )
 
 
 def _q_dedup_ngram_jaccard(spark, sf_dir):
@@ -455,6 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_minhash_verified": _q_dedup_minhash_verified,
         "dedup_simhash": _q_dedup_simhash,
+        "simhash_near_pairs": _q_simhash_near_pairs,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "fingerprints": _q_fingerprints,
         "token_counts": _q_token_counts,
@@ -513,6 +526,25 @@ SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM agg
 """
 
 
+def _simhash_pairs_oracle(bits: int, bands: int, max_hamming: int) -> str:
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    return f"""
+WITH fps AS ({_simhash_oracle(bits)}),
+banded AS (
+  SELECT doc_id, simhash, band, (simhash >> CAST(band * {band_bits} AS INTEGER)) & {mask} AS band_key
+  FROM fps, (SELECT unnest(range(0, {bands})) AS band) bs
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.simhash AS sa, y.simhash AS sb
+  FROM banded x JOIN banded y ON x.band = y.band AND x.band_key = y.band_key
+  WHERE x.doc_id < y.doc_id
+)
+SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM pairs WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "frontier_priority_topk": """
@@ -544,7 +576,7 @@ FROM events
 """,
         "domain_fanout": """
 SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
-       sum(n_chars) AS total_chars
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY source
 """,
         "canonicalize": """
@@ -602,7 +634,7 @@ SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
         "events_sessionize": """
-SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events FROM (
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
   SELECT user_id,
     CASE WHEN lag(ts) OVER w IS NULL
               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
@@ -657,6 +689,7 @@ verified AS (
 SELECT a, b, jaccard FROM verified WHERE jaccard >= 0.2
 """,
         "dedup_simhash": _simhash_oracle(16),
+        "simhash_near_pairs": _simhash_pairs_oracle(16, 4, 3),
         "dedup_ngram_jaccard": f"""
 WITH {_SHINGLES_CTE.strip()},
 df AS (SELECT shingle, count(*) AS c FROM shingles GROUP BY shingle),
