@@ -66,6 +66,40 @@ def exact_dedup_keep_first(docs: DataFrame, id_col: str = "doc_id", text_col: st
     )
 
 
+def minhash_signatures_wide(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, s0..s{k-1}): per-permutation min signatures, one column each.
+
+    Single-pass shape for scale: ONE row per (doc, shingle) carrying the
+    k-element hash array (computed map-side by ``transform``), then one
+    groupBy(doc) with k elementwise ``min`` aggregates — map-side partial
+    aggregation shrinks the shuffle to one row per (doc, partition), k× fewer
+    pre-shuffle rows than the explode-perms formulation.
+
+    String-min over md5 hex is a valid permutation proxy (uniform order on
+    shingles) and — unlike xxhash64/murmur — is bit-identical across engines,
+    which keeps the operator oracle-checkable.
+    """
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("shingle"),
+    )
+    hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda p: F.md5(F.concat_ws(":", p, F.col("shingle"))),
+    )
+    return (
+        sh.select(id_col, hashes.alias("_hs"))
+        .groupBy(id_col)
+        .agg(*[F.min(F.element_at("_hs", i + 1)).alias(f"s{i}") for i in range(num_hashes)])
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     num_hashes: int = 16,
@@ -73,20 +107,13 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(doc_id, perm, sig): sig = min over shingles of md5(perm||':'||shingle).
-
-    String-min over md5 hex is a valid permutation proxy (uniform order on
-    shingles) and — unlike xxhash64/murmur — is bit-identical across engines,
-    which keeps the operator oracle-checkable.
-    """
-    sh = docs.select(
-        F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("shingle")
-    )
-    perms = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("perm")
-    return (
-        sh.select(id_col, "shingle", perms)
-        .groupBy(id_col, "perm")
-        .agg(F.min(F.md5(F.concat_ws(":", F.col("perm"), F.col("shingle")))).alias("sig"))
+    """(doc_id, perm, sig): long-form view of ``minhash_signatures_wide``."""
+    wide = minhash_signatures_wide(docs, num_hashes, shingle_n, id_col, text_col)
+    return wide.select(
+        id_col,
+        F.posexplode(F.array(*[F.col(f"s{i}") for i in range(num_hashes)])).alias(
+            "perm", "sig"
+        ),
     )
 
 
@@ -98,15 +125,28 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Candidate near-dup pairs (a < b) sharing ≥1 LSH band bucket."""
+    """Candidate near-dup pairs (a < b) sharing ≥1 LSH band bucket.
+
+    Band keys are projected straight off the wide signature row (md5 of the
+    band's sigs in perm order) — no second aggregation shuffle; the only
+    shuffles are the signature groupBy and the bucket self-join."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, shingle_n, id_col, text_col)
-    band_keys = (
-        sigs.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        # band key = md5 of the band's sigs in perm order
-        .agg(F.md5(F.concat_ws(",", F.array_sort(F.collect_list(F.struct("perm", "sig")))
-                               .getField("sig"))).alias("band_key"))
+    wide = minhash_signatures_wide(docs, num_hashes, shingle_n, id_col, text_col)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",", *[F.col(f"s{band * rows_per_band + j}") for j in range(rows_per_band)]
+                    )
+                ).alias("band_key"),
+            )
+            for band in range(bands)
+        ]
+    )
+    band_keys = wide.select(id_col, F.explode(band_structs).alias("_bk")).select(
+        id_col, F.col("_bk.band").alias("band"), F.col("_bk.band_key").alias("band_key")
     )
     a = band_keys.select(F.col(id_col).alias("a"), "band", "band_key")
     b = band_keys.select(F.col(id_col).alias("b"), "band", "band_key")

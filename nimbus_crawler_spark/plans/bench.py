@@ -18,7 +18,7 @@ from __future__ import annotations
 import os
 import time
 
-from pyspark.sql import SparkSession, Window
+from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from ..config import CrawlConfig
@@ -137,9 +137,10 @@ def seed_full_frontier(spark: SparkSession, store: SnapshotStore, pages_path: st
         .withColumn("host", hostname_udf("url"))
         .where(F.col("host").isNotNull())
     )
-    w = Window.orderBy("url")
+    from ..operators.ranking import global_row_number
+
     state = (
-        urls.withColumn("seq", F.row_number().over(w).cast("long"))
+        global_row_number(urls, ["url"], "seq", num_partitions=cfg.shuffle_partitions, start=1)
         .select(
             "url",
             F.xxhash64("url").alias("url_hash"),

@@ -52,6 +52,15 @@ def _with_keys(df: DataFrame, n_buckets: int) -> DataFrame:
     )
 
 
+def _backoff_rounds_expr(retry, cfg: CrawlConfig):
+    """Column mirror of functions/backoff.backoff_rounds — same IEEE-double
+    op order (base + (jitter·0.5)·base, ·1000.0, /round_ms, ceil, min 1) so
+    engine and oracle stay bit-identical for any configured jitter."""
+    base = F.pow(F.lit(2.0), retry)
+    secs = base + F.lit(cfg.backoff_jitter * 0.5) * base
+    return F.greatest(F.lit(1), F.ceil(secs * 1000.0 / cfg.round_ms))
+
+
 def _pkey(cfg: CrawlConfig):
     if cfg.politeness_key == "registrable_domain":
         return registrable_domain_udf(F.col("host"))
@@ -193,11 +202,11 @@ def run_round(
     # enter a window shuffle. The flags rejoin on `url` reuses the fetch
     # join's hash partitioning, so only the slim side moves.
     #
-    # crawl_seq: global fetch order = frontier priority (depth, seq). The
-    # single-partition row_number is over slim per-round rows (politeness-
-    # bounded), not the frontier; see ENGINE.md for the range-partitioned
-    # rank alternative at extreme round sizes.
-    w_order = Window.orderBy("depth", "seq")
+    # crawl_seq: global fetch order = frontier priority (depth, seq),
+    # computed by the range-partitioned distributed rank (no single-
+    # partition window — scale-safe for politeness-unbounded mega rounds).
+    from ..operators.ranking import global_row_number
+
     prior_hashes = (
         state.where(F.col("status") == "parsed")
         .select("content_hash")
@@ -210,12 +219,23 @@ def run_round(
     page_hashes = pages.select(
         "url", F.sha2(F.col("html"), 256).alias("content_hash"), "lang"
     )
-    flags = (
+    slim = (
         selected.select("url", "depth", "seq")
         .join(page_hashes, "url")
-        .where(F.coalesce(F.col("lang"), F.lit("")) != "binary")
+        # gate must match the fetch branch's _ok exactly: sha2(html) is null
+        # iff html is null, so a null-html row is a fetch failure here too —
+        # otherwise it would consume a crawl_seq that never reaches `hashed`
+        .where(
+            F.col("content_hash").isNotNull()
+            & (F.coalesce(F.col("lang"), F.lit("")) != "binary")
+        )
         .select("url", "depth", "seq", "content_hash")
-        .withColumn("crawl_seq", F.row_number().over(w_order) + F.lit(fetched_total) - 1)
+    )
+    flags = (
+        global_row_number(
+            slim, ["depth", "seq"], "crawl_seq",
+            num_partitions=cfg.shuffle_partitions, start=fetched_total,
+        )
         .withColumn("_hash_rn", F.row_number().over(w_hash))
         .join(prior_hashes, "content_hash", "left")
         .withColumn("dup_content", (F.col("_hash_rn") > 1) | F.col("_prior_dup").isNotNull())
@@ -242,7 +262,11 @@ def run_round(
             .select(
                 F.col("seq").alias("parent_seq"),
                 (F.col("depth") + 1).alias("depth"),
-                F.posexplode("links").alias("pos", "url"),
+                # cap the per-page link fan-out to the seq stride so child
+                # seq = parent_seq·stride + pos + 1 can never collide with
+                # the next parent's range (parser.go:196-208 uses the same
+                # bounded stride)
+                F.posexplode(F.slice("links", 1, cfg.max_links_per_page)).alias("pos", "url"),
             )
             .withColumn("host", hostname_udf("url"))
             .where(F.col("host").isNotNull() & (F.col("host") != ""))
@@ -307,11 +331,7 @@ def run_round(
         status=F.when(F.col("_retry") >= cfg.max_retries, "failed").otherwise("crawling"),
         retry_count=F.col("_retry"),
         next_round=F.when(F.col("_retry") >= cfg.max_retries, F.col("next_round")).otherwise(
-            F.lit(r)
-            + F.greatest(
-                F.lit(1),
-                F.ceil(F.pow(F.lit(2.0), F.col("_retry")) * 1000.0 / cfg.round_ms),
-            )
+            F.lit(r) + _backoff_rounds_expr(F.col("_retry"), cfg)
         ).cast("long"),
     )
     # dup pages: reference stores only status + html link (parser.go:123;
@@ -332,11 +352,16 @@ def run_round(
         text_key=F.col("text_key"),
     )
 
-    updates = upd_denied.unionByName(upd_failed).unionByName(upd_dup).unionByName(upd_parsed)
-    new_state = (
-        state.join(updates.select("url"), "url", "left_anti")
-        .unionByName(updates)
+    # Bucket-partial MERGE: the round ships only its upserts (touched rows +
+    # new children); the store rewrites just the buckets they hash into and
+    # keeps every untouched bucket's files — per-round write cost is
+    # O(round footprint), not O(total state).
+    upserts = (
+        upd_denied.unionByName(upd_failed)
+        .unionByName(upd_dup)
+        .unionByName(upd_parsed)
         .unionByName(children)
+        .select(*_STATE_COLS)
     )
 
     # --- domains politeness clock advance -----------------------------------
@@ -410,10 +435,7 @@ def run_round(
 
     scheduled = selected.count()
     fetched_total += n_fetched
-    snapshots = {
-        "url_state": new_state.select(*_STATE_COLS),
-        "domains": new_domains_state,
-    }
+    snapshots = {"domains": new_domains_state}
     if cfg.use_seen_bloom:
         from ..operators.dedup import update_seen_filter
 
@@ -426,6 +448,7 @@ def run_round(
     store.commit(
         r,
         snapshots=snapshots,
+        merges={"url_state": upserts},
         appends={"crawl_results": results, "quarantine": quarantine, "lineage": lineage},
         meta={
             "frontier_pending": frontier_pending,

@@ -188,7 +188,13 @@ def simulate(
         children: list[tuple[str, str, int, int]] = []  # url, host, depth, seq
         for u, s in selected:
             page = pages.get(u)
-            ok = page is not None and page.get("lang") != "binary"
+            # null html is a fetch failure (matches the engine's _ok gate:
+            # html IS NOT NULL AND lang != 'binary')
+            ok = (
+                page is not None
+                and page.get("html") is not None
+                and page.get("lang") != "binary"
+            )
             if not ok:
                 s["retry_count"] += 1
                 if s["retry_count"] >= cfg.max_retries:
@@ -208,10 +214,13 @@ def simulate(
             import hashlib
 
             h = hashlib.sha256(html).hexdigest()
-            s["content_hash"] = h
             if h in seen_hashes:
+                # dup path persists status + html link only (parser.go:123
+                # calls UpdateURLStatus; content_hash is written solely by
+                # UpdateURLParsed) — content_hash/text_key stay NULL
                 s["status"] = "skipped"
                 continue
+            s["content_hash"] = h
             links = extract_links(html, u) or []
             text = extract_text(html)
             s["text_key"] = text_key(u)
@@ -226,7 +235,9 @@ def simulate(
             }
             if backpressured or s["depth"] + 1 > cfg.max_depth:
                 continue
-            for pos, link in enumerate(links):
+            # stride-bounded fan-out: at most max_links_per_page children
+            # (mirrors the engine's F.slice before posexplode)
+            for pos, link in enumerate(links[: cfg.max_links_per_page]):
                 child_host = hostname(link)
                 if not child_host:
                     continue

@@ -14,9 +14,15 @@ runtime jar, so the same semantics are provided by a parquet snapshot catalog:
   anchor: on restart the max committed marker wins and any uncommitted
   version directories are dead data (reference analog: XAUTOCLAIM redelivery,
   consumer.go:112-162, and the stale 'crawling' reset, url.go ResetStale).
-* ``url_state`` is hash-bucketed by ``pmod(xxhash64(url), N)``; at Iceberg
-  scale the per-round MERGE rewrites only touched buckets — the catalog keeps
-  the bucket column in the data so the plan is partition-prunable either way.
+* ``url_state`` is hash-bucketed by ``pmod(xxhash64(url), N)`` and committed
+  via **bucket-partial MERGE** (`commit(merges=...)`): only buckets touched
+  by the round's upserts are rewritten into a new segment
+  ``<table>/m<round>``; untouched buckets keep their prior segment files.
+  The marker tracks a per-bucket → segment mapping, so per-round bytes
+  written scale with the round's footprint, not total state size — the
+  copy-on-write MERGE Iceberg performs on bucket-partitioned tables. When
+  the live-segment count exceeds ``max_segments`` the commit compacts back
+  to a single full snapshot (Iceberg's rewrite_data_files analog).
 
 Swapping this class for a real Iceberg catalog changes only ``read``/``commit``
 (DataFrame ``MERGE INTO``), not any plan code.
@@ -31,16 +37,21 @@ import time
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .schemas import EMPTY_SCHEMAS
 
 _COMMITS = "_commits"
 
+# merge key per bucket-partial table (rows are full replacements keyed here)
+_MERGE_KEYS = {"url_state": "url"}
+
 
 class SnapshotStore:
-    def __init__(self, spark: SparkSession, warehouse: str | os.PathLike):
+    def __init__(self, spark: SparkSession, warehouse: str | os.PathLike, max_segments: int = 16):
         self.spark = spark
         self.warehouse = Path(warehouse)
+        self.max_segments = max_segments
         (self.warehouse / _COMMITS).mkdir(parents=True, exist_ok=True)
 
     # ---- commit log ----
@@ -61,13 +72,47 @@ class SnapshotStore:
     # ---- reads ----
 
     def read(self, table: str) -> DataFrame:
-        """Current snapshot of a versioned table (empty DF before first commit)."""
+        """Current snapshot of a versioned table (empty DF before first commit).
+
+        Table entries are either a plain segment path (full snapshot) or a
+        composite ``{"star": path, "buckets": {bucket: path}}`` from bucket-
+        partial merges: the star segment serves every bucket not explicitly
+        remapped; each merge segment serves the buckets mapped to it (an
+        ``IN`` filter the parquet scan prunes with row-group bucket stats).
+        """
         c = self.latest_commit()
         if c is None or table not in c["tables"]:
             return self.spark.createDataFrame([], EMPTY_SCHEMAS[table])
-        return self.spark.read.schema(EMPTY_SCHEMAS[table]).parquet(
-            str(self.warehouse / c["tables"][table])
-        )
+        entry = c["tables"][table]
+        if isinstance(entry, str):
+            return self.spark.read.schema(EMPTY_SCHEMAS[table]).parquet(
+                str(self.warehouse / entry)
+            )
+        buckets: dict[str, str] = entry.get("buckets", {})
+        by_dir: dict[str, list[int]] = {}
+        for b, rel in buckets.items():
+            by_dir.setdefault(rel, []).append(int(b))
+        scans = []
+        star = entry.get("star")
+        if star:
+            scan = self.spark.read.schema(EMPTY_SCHEMAS[table]).parquet(
+                str(self.warehouse / star)
+            )
+            if buckets:
+                scan = scan.where(~F.col("bucket").isin([int(b) for b in buckets]))
+            scans.append(scan)
+        for rel, bs in by_dir.items():
+            scans.append(
+                self.spark.read.schema(EMPTY_SCHEMAS[table])
+                .parquet(str(self.warehouse / rel))
+                .where(F.col("bucket").isin(bs))
+            )
+        if not scans:
+            return self.spark.createDataFrame([], EMPTY_SCHEMAS[table])
+        out = scans[0]
+        for s in scans[1:]:
+            out = out.unionByName(s)
+        return out
 
     def read_appends(self, table: str) -> DataFrame:
         """Union of all committed append deltas for an append-only table."""
@@ -81,18 +126,29 @@ class SnapshotStore:
 
     # ---- commit ----
 
+    def _dir_bytes(self, rel: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(self.warehouse / rel):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total
+
     def commit(
         self,
         round_idx: int,
         snapshots: dict[str, DataFrame] | None = None,
         appends: dict[str, DataFrame] | None = None,
+        merges: dict[str, DataFrame] | None = None,
         meta: dict | None = None,
     ) -> dict:
         """Write table data, then publish the round atomically via the marker.
 
-        ``snapshots`` replace the table (engine computes MERGE results as full
-        DataFrames; under Iceberg this is `MERGE INTO` on touched buckets).
-        ``appends`` add a delta (crawl_results / lineage / quarantine).
+        ``snapshots`` replace the table in full. ``merges`` upsert rows into a
+        bucket-partial table: only the buckets present in the upsert DataFrame
+        are rewritten (prior rows of those buckets are carried over, rows
+        matching the merge key are replaced) — the Iceberg `MERGE INTO`
+        copy-on-write on bucket partitions. ``appends`` add a delta
+        (crawl_results / lineage / quarantine).
         """
         prev = self.latest_commit()
         tables = dict(prev["tables"]) if prev else {}
@@ -108,6 +164,68 @@ class SnapshotStore:
             rel = f"{name}/v{round_idx + 1:08d}"
             tables[name] = rel
             jobs.append((name, rel, df))
+
+        merge_info: dict[str, dict] = {}
+        merge_tmp: list[str] = []
+        for name, upserts_df in (merges or {}).items():
+            key = _MERGE_KEYS.get(name, "url")
+            cols0 = [f.name for f in EMPTY_SCHEMAS[name].fields]
+            # phase 1: materialize the upsert delta ONCE (its lineage is the
+            # round's update plan — evaluating it twice would re-run UDFs);
+            # touched buckets come from a columnar read-back of this delta
+            urel = f"{name}/u{round_idx + 1:08d}"
+            upserts_df.select(*cols0).write.mode("overwrite").parquet(str(self.warehouse / urel))
+            merge_tmp.append(urel)
+            upserts = self.spark.read.schema(EMPTY_SCHEMAS[name]).parquet(
+                str(self.warehouse / urel)
+            )
+            touched = sorted(
+                r["bucket"] for r in upserts.select("bucket").distinct().collect()
+            )
+            if not touched:
+                continue  # nothing to merge — prior mapping stands
+            prior_entry = tables.get(name)
+            prior_df = self.read(name)
+            cols = cols0
+            # normalize prior entry to composite form
+            if prior_entry is None:
+                entry = {"star": None, "buckets": {}}
+            elif isinstance(prior_entry, str):
+                entry = {"star": prior_entry, "buckets": {}}
+            else:
+                entry = {"star": prior_entry.get("star"), "buckets": dict(prior_entry["buckets"])}
+            new_buckets = dict(entry["buckets"])
+            live_dirs = {rel for rel in new_buckets.values()}
+            if entry["star"]:
+                live_dirs.add(entry["star"])
+            compact = len(live_dirs) + 1 > self.max_segments
+            if compact:
+                rel = f"{name}/v{round_idx + 1:08d}"
+                full = (
+                    prior_df.join(upserts.select(key), key, "left_anti")
+                    .unionByName(upserts.select(*cols))
+                    .select(*cols)
+                )
+                tables[name] = rel
+                jobs.append((name, rel, full))
+            else:
+                rel = f"{name}/m{round_idx + 1:08d}"
+                seg = (
+                    prior_df.where(F.col("bucket").isin(touched))
+                    .join(upserts.select(key), key, "left_anti")
+                    .unionByName(upserts.select(*cols))
+                    .select(*cols)
+                    # co-locate buckets so the read-side IN filters prune
+                    # whole row groups / files via bucket min-max stats
+                    .repartition(max(1, min(len(touched), 8)), "bucket")
+                    .sortWithinPartitions("bucket", key)
+                )
+                for b in touched:
+                    new_buckets[str(b)] = rel
+                tables[name] = {"star": entry["star"], "buckets": new_buckets}
+                jobs.append((name, rel, seg))
+            merge_info[name] = {"touched_buckets": len(touched), "compacted": compact}
+
         for name, df in (appends or {}).items():
             rel = f"{name}/r{round_idx + 1:08d}"
             all_appends.setdefault(name, []).append(rel)
@@ -124,16 +242,22 @@ class SnapshotStore:
             for j in jobs:
                 write(j)
 
+        write_stats = {
+            name: {"bytes": self._dir_bytes(rel), **merge_info.get(name, {})}
+            for name, rel, _df in jobs
+        }
         marker = {
             "round": round_idx,
             "tables": tables,
             "appends": all_appends,
-            "meta": meta or {},
+            "meta": {**(meta or {}), "write_stats": write_stats},
             "committed_at": time.time(),
         }
         tmp = self.warehouse / _COMMITS / f".tmp-{round_idx + 1:08d}.json"
         tmp.write_text(json.dumps(marker, indent=1))
         os.rename(tmp, self._commit_path(round_idx))  # atomic publish
+        for urel in merge_tmp:  # delta dirs are folded into segments — drop
+            shutil.rmtree(self.warehouse / urel, ignore_errors=True)
         return marker
 
     def destroy(self) -> None:

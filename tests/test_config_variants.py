@@ -66,6 +66,47 @@ def test_round_capacity_cap(spark, corpus, tmp_path):
     assert max(per_round.values()) <= 2
 
 
+def test_backoff_jitter_engine_matches_oracle(spark, corpus, tmp_path):
+    # non-zero deterministic jitter: engine's column formula must stay
+    # bit-identical to functions/backoff.backoff_rounds (ADVICE r1)
+    cfg = CrawlConfig(backoff_jitter=0.7)
+    oracle, state, eorder, oorder = _run_both(spark, corpus, cfg, tmp_path, "jitter")
+    assert set(state) == oracle.seen_set
+    assert eorder == oorder
+    retried = 0
+    for u, s in state.items():
+        o = oracle.url_state[u]
+        assert (s["status"], s["retry_count"], s["next_round"]) == (
+            o["status"],
+            o["retry_count"],
+            o["next_round"],
+        ), u
+        retried += int(s["retry_count"] > 0)
+    assert retried >= 1  # dead links exist in the corpus
+
+
+def test_null_html_is_fetch_failure(spark, corpus, tmp_path):
+    # a pages row with NULL html must take the retry path in BOTH branches
+    # of the engine (fetch _ok gate and the slim flags branch) — a one-sided
+    # gate would burn a crawl_seq and desync ordering (ADVICE r1)
+    import copy
+
+    c2 = copy.deepcopy(corpus)
+    victim = None
+    for p in c2.pages:  # a root (seed) page — guaranteed to be scheduled
+        if p["url"].count("/") == 3 and p["url"].endswith("/") and p.get("lang") != "binary":
+            victim = p["url"]
+            p["html"] = None
+            break
+    assert victim is not None
+    cfg = CrawlConfig()
+    oracle, state, eorder, oorder = _run_both(spark, c2, cfg, tmp_path, "nullhtml")
+    assert set(state) == oracle.seen_set
+    assert eorder == oorder
+    assert state[victim]["status"] == "failed"
+    assert state[victim]["retry_count"] == oracle.url_state[victim]["retry_count"] >= 1
+
+
 def test_robots_disabled(spark, corpus, tmp_path):
     cfg = CrawlConfig(respect_robots_txt=False)
     oracle, state, eorder, oorder = _run_both(spark, corpus, cfg, tmp_path, "norobots")

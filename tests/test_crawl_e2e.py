@@ -114,6 +114,22 @@ def test_content_hash_and_keys_match(engine_result, oracle_result):
         assert s["text_key"] == e["text_key"], u
 
 
+def test_keys_match_for_all_states_including_dups(engine_result, oracle_result):
+    """Dup-skipped rows persist html_key but NOT content_hash/text_key
+    (parser.go:123 — UpdateURLStatus only); robots-skips persist none.
+    Compare the three columns for EVERY url, not just parsed ones."""
+    dup_rows = 0
+    for u, s in engine_result["url_state"].items():
+        o = oracle_result.url_state[u]
+        assert s["content_hash"] == o["content_hash"], u
+        assert s["html_key"] == o["html_key"], u
+        assert s["text_key"] == o["text_key"], u
+        if s["status"] == "skipped" and s["html_key"] is not None:
+            assert s["content_hash"] is None and s["text_key"] is None, u
+            dup_rows += 1
+    assert dup_rows >= 1  # corpus has dup_content_pairs >= 1
+
+
 def test_domains_clock_and_delay_match(engine_result, oracle_result):
     eng = engine_result["domains"]
     assert set(eng) == set(oracle_result.domains)

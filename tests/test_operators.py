@@ -173,8 +173,51 @@ class TestMultimodal:
         assert len(feats[0]["histogram"]) == 16
         assert feats[0]["byte_entropy"] > 0
 
-    def test_real_codec_is_stubbed(self):
+    def test_unknown_codec_rejected(self):
         from nimbus_crawler_spark.operators.multimodal import decode_media
 
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError):
             decode_media(b"x", "image", codec="pillow")
+
+    def test_bmp_decode(self):
+        from nimbus_crawler_spark.operators.multimodal import decode_media, make_bmp
+
+        f = decode_media(make_bmp(10, 7, seed=3), "image")
+        assert f["format"] == "bmp" and (f["width"], f["height"]) == (10, 7)
+        assert f["frames_sampled"] == 1 and sum(f["histogram"]) == 70
+        # deterministic: same bytes → same features
+        assert f == decode_media(make_bmp(10, 7, seed=3), "image")
+
+    def test_wav_decode(self):
+        from nimbus_crawler_spark.operators.multimodal import decode_media, make_wav
+
+        f = decode_media(make_wav(800, rate=8000, seed=1), "audio")
+        assert f["format"] == "wav" and f["sample_rate"] == 8000
+        assert f["frames_sampled"] == 800 and f["duration_s"] == 0.1
+        assert sum(f["histogram"]) == 800
+
+    def test_truncated_media_falls_back_to_raw(self):
+        from nimbus_crawler_spark.operators.multimodal import decode_media, make_bmp
+
+        f = decode_media(make_bmp(10, 7)[:20], "image")  # valid magic, short body
+        assert f["format"] == "raw" and f["n_bytes"] == 20
+
+    def test_real_codecs_through_spark(self, spark):
+        from nimbus_crawler_spark.operators.multimodal import (
+            extract_features,
+            make_bmp,
+            make_wav,
+        )
+
+        rows = [
+            (0, "image", "image/bmp", bytearray(make_bmp(6, 4, seed=9)), None),
+            (1, "audio", "audio/wav", bytearray(make_wav(400, rate=4000, seed=9)), None),
+            (2, "video", "x/v", bytearray(b"not-a-container"), None),
+        ]
+        from nimbus_crawler_spark.operators.multimodal import MEDIA_SCHEMA
+
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        feats = {r["media_id"]: r for r in extract_features(media).collect()}
+        assert feats[0]["format"] == "bmp" and feats[0]["width"] == 6
+        assert feats[1]["format"] == "wav" and feats[1]["duration_s"] == 0.1
+        assert feats[2]["format"] == "raw" and feats[2]["frames_sampled"] >= 1

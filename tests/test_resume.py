@@ -79,3 +79,59 @@ def test_commit_marker_contents(spark, small, tmp_path):
     assert len(commits) == 3  # seed + 2 rounds
     for p in commits:
         json.loads(p.read_text())
+
+
+def _mk_state(spark, urls, status="pending", buckets=32):
+    from pyspark.sql import functions as F
+
+    from nimbus_crawler_spark.schemas import URL_STATE_SCHEMA
+
+    rows = [(u, 0, 0, "h", 0, i, status, 0, 0, None, None, None, 0) for i, u in enumerate(urls)]
+    df = spark.createDataFrame(rows, URL_STATE_SCHEMA)
+    return df.withColumn("url_hash", F.xxhash64("url")).withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(buckets)).cast("int")
+    )
+
+
+def test_bucket_partial_merge_writes_scale_with_round(spark, tmp_path):
+    """A merge commit rewrites only touched buckets: bytes << full snapshot,
+    untouched buckets served from prior segment files (Iceberg MERGE analog)."""
+    store = SnapshotStore(spark, str(tmp_path / "merge"))
+    base = [f"https://h/{i}" for i in range(400)]
+    store.commit(-1, snapshots={"url_state": _mk_state(spark, base)})
+    base_bytes = store.latest_commit()["meta"]["write_stats"]["url_state"]["bytes"]
+
+    upd = _mk_state(spark, base[:5] + ["https://h/new1", "https://h/new2"], status="parsed")
+    store.commit(0, merges={"url_state": upd})
+    c = store.latest_commit()
+    assert isinstance(c["tables"]["url_state"], dict)  # composite bucket map
+    st = c["meta"]["write_stats"]["url_state"]
+    assert st["touched_buckets"] < 32 and not st["compacted"]
+    assert st["bytes"] < base_bytes / 2  # O(round), not O(state)
+
+    got = {r["url"]: r["status"] for r in store.read("url_state").collect()}
+    assert len(got) == 402
+    assert got["https://h/0"] == "parsed" and got["https://h/new1"] == "parsed"
+    assert got["https://h/399"] == "pending"  # untouched bucket still served
+
+
+def test_merge_compaction_bounds_segments(spark, tmp_path):
+    store = SnapshotStore(spark, str(tmp_path / "compact"), max_segments=3)
+    base = [f"https://h/{i}" for i in range(50)]
+    store.commit(-1, snapshots={"url_state": _mk_state(spark, base)})
+    for r in range(4):
+        store.commit(r, merges={"url_state": _mk_state(spark, [f"https://h/x{r}"])})
+    c = store.latest_commit()
+    # live segment count stays bounded by max_segments
+    entry = c["tables"]["url_state"]
+    if isinstance(entry, dict):
+        dirs = set(entry["buckets"].values()) | ({entry["star"]} if entry["star"] else set())
+        assert len(dirs) <= 3
+    assert any(
+        json.loads((tmp_path / "compact" / "_commits" / p.name).read_text())["meta"][
+            "write_stats"
+        ]["url_state"].get("compacted")
+        for p in sorted((tmp_path / "compact" / "_commits").glob("c*.json"))[1:]
+    )
+    got = {r["url"] for r in store.read("url_state").collect()}
+    assert got == set(base) | {f"https://h/x{r}" for r in range(4)}
