@@ -55,9 +55,14 @@ MEGA_HOSTS = int(os.environ.get("NIMBUS_BENCH_MEGA_HOSTS", "10000"))
 MEGA_PPH = int(os.environ.get("NIMBUS_BENCH_MEGA_PPH", "45"))
 MEGA_DOM = int(os.environ.get("NIMBUS_BENCH_MEGA_DOM", "40"))
 # scaling pair: N→4N cores; 2→8 keeps both levels far from host saturation
-# (the sandbox VM shows bursty external contention above ~half its cores)
+# (the sandbox VM shows bursty external contention above ~half its cores).
+# Each level runs in an isolated subprocess pinned to exactly N cores with
+# 4 GiB/core heap (plans/scalerun.py) — the honest stand-in for N executors.
 SCALE_LOW = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "2"))
 SCALE_HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", str(min(4 * SCALE_LOW, CPUS))))
+# scaling corpus: same heavy-DOM shape as the mega round at half the hosts —
+# bounds the low-parallelism wall so interleaved reps stay affordable
+SCALE_HOSTS = int(os.environ.get("NIMBUS_BENCH_SCALE_HOSTS", "5000"))
 
 
 def _force(df) -> int:
@@ -114,42 +119,60 @@ def main() -> None:
     if SCALING:
         # the sandbox host has bursty external contention: interleave
         # low/high runs and keep the best per level (standard noisy-host
-        # benchmarking); reps configurable via NIMBUS_BENCH_REPS
-        reps = int(os.environ.get("NIMBUS_BENCH_REPS", "1"))
+        # benchmarking); reps configurable via NIMBUS_BENCH_REPS. Each run
+        # is an isolated CPU-pinned subprocess (plans/scalerun.py).
+        import subprocess
+
+        scale_pages = cached_corpus_path(
+            None, SCALE_HOSTS, MEGA_PPH, fanout=4, zipf_s=0.12,
+            para_words=(60, 160), heavy_dom=MEGA_DOM,
+        )
+        reps = int(os.environ.get("NIMBUS_BENCH_REPS", "2"))
         tput: dict = {}
         ps: dict = {}
+        env = {**os.environ, "PYTHONPATH": os.path.dirname(os.path.abspath(__file__))}
         for _rep in range(reps):
             for m in (SCALE_LOW, SCALE_HIGH):
-                s = _session(f"local[{m}]")
-                wh = _bench_tmpdir(f"nimbus-scale-{m}-")
-                r = bench_mega_round(s, mega_pages, wh)
-                shutil.rmtree(wh, ignore_errors=True)
-                p = bench_parse_stage(s, mega_pages)
-                s.stop()
+                proc = subprocess.run(
+                    [sys.executable, "-m", "nimbus_crawler_spark.plans.scalerun",
+                     str(m), scale_pages],
+                    capture_output=True, text=True, env=env,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                )
+                line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+                if not line.startswith("{"):
+                    print(f"scalerun {m} failed: {proc.stderr[-500:]}", file=sys.stderr)
+                    continue
+                res = json.loads(line)
+                r, p = res["round"], res["parse"]
                 if m not in tput or r["urls_per_sec"] > tput[m]["urls_per_sec"]:
                     tput[m] = r
                 if m not in ps or p["pages_per_sec"] > ps[m]["pages_per_sec"]:
                     ps[m] = p
-        lo, hi = tput[SCALE_LOW], tput[SCALE_HIGH]
-        factor = SCALE_HIGH / SCALE_LOW
-        eff = hi["urls_per_sec"] / (factor * lo["urls_per_sec"])
-        out["scaling"] = {
-            "low_parallelism": {"cores": SCALE_LOW, **lo},
-            "high_parallelism": {"cores": SCALE_HIGH, **hi},
-            "factor": factor,
-            "efficiency": round(eff, 3),
-        }
-        # parse-stage scaling: the fetch round's dominant compute in
-        # isolation (the full-round number above also carries local-mode
-        # orchestration that a real cluster distributes per-executor)
-        out["parse_stage_scaling"] = {
-            "low": {"cores": SCALE_LOW, **ps[SCALE_LOW]},
-            "high": {"cores": SCALE_HIGH, **ps[SCALE_HIGH]},
-            "factor": factor,
-            "efficiency": round(
-                ps[SCALE_HIGH]["pages_per_sec"] / (factor * ps[SCALE_LOW]["pages_per_sec"]), 3
-            ),
-        }
+        if SCALE_LOW in tput and SCALE_HIGH in tput:
+            lo, hi = tput[SCALE_LOW], tput[SCALE_HIGH]
+            factor = SCALE_HIGH / SCALE_LOW
+            eff = hi["urls_per_sec"] / (factor * lo["urls_per_sec"])
+            out["scaling"] = {
+                "low_parallelism": {"cores": SCALE_LOW, **lo},
+                "high_parallelism": {"cores": SCALE_HIGH, **hi},
+                "factor": factor,
+                "efficiency": round(eff, 3),
+                "isolation": "cpu-pinned subprocess, 4GiB/core",
+                "reps_best_of": reps,
+            }
+            # parse-stage scaling: the fetch round's dominant compute in
+            # isolation (the full-round number above also carries local-mode
+            # orchestration that a real cluster distributes per-executor)
+            out["parse_stage_scaling"] = {
+                "low": {"cores": SCALE_LOW, **ps[SCALE_LOW]},
+                "high": {"cores": SCALE_HIGH, **ps[SCALE_HIGH]},
+                "factor": factor,
+                "efficiency": round(
+                    ps[SCALE_HIGH]["pages_per_sec"]
+                    / (factor * ps[SCALE_LOW]["pages_per_sec"]), 3
+                ),
+            }
 
     out.update(
         {

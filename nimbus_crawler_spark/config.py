@@ -30,6 +30,12 @@ class CrawlConfig:
     round_ms: int = 1000                  # logical ms of crawl time per round
     round_capacity: int | None = None     # global per-round fetch cap (O3); None = unbounded
     frontier_backpressure: int | None = 80000  # F10: skip enqueuing children when pending exceeds this (parser.go:158)
+    # O4: lossy frontier trim — keep only the NEWEST N pending URLs by
+    # (discovered_round, depth, seq), mark the rest 'trimmed' (terminal,
+    # stays in the seen set). Batch analog of the reference's Redis
+    # XAdd MaxLen≈100000 oldest-entry eviction (queue/publisher.go:12,29-33);
+    # None (default) = lossless frontier.
+    frontier_trim: int | None = None
     backoff_jitter: float = 0.0           # 0 ⇒ deterministic 2^retry seconds (backoff.go:11-15)
     max_links_per_page: int = 1024        # discovery_seq stride (SURVEY §4.3.3)
 

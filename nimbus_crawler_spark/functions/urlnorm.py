@@ -303,36 +303,37 @@ def resolve_reference(base: str, href: str) -> str | None:
 
 # --- registrable domain (north-rule politeness key option) ------------------
 
-# Embedded public-suffix snapshot (tiny, deterministic — NOT the full PSL; the
-# config default politeness_key='hostname' reproduces reference parity per
-# crawler.go:120, and 'registrable_domain' mode uses this snapshot).
-_PSL_SUFFIXES = {
-    "com", "org", "net", "edu", "gov", "io", "dev", "app", "info", "biz",
-    "co", "me", "ai", "us", "uk", "de", "fr", "jp", "au", "example", "test",
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
-    "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "co.in",
-    "github.io", "gitlab.io", "pages.dev", "herokuapp.com", "blogspot.com",
-}
+# Vendored public-suffix snapshot (psl_data.py) — deterministic, offline.
+# The config default politeness_key='hostname' reproduces reference parity
+# per crawler.go:120; 'registrable_domain' mode (the north-rule politeness
+# key) uses the full PSL algorithm over the snapshot.
+from .psl_data import PSL_EXCEPTIONS, PSL_RULES, PSL_WILDCARDS
 
 
 def registrable_domain(host: str) -> str:
-    """eTLD+1 under the embedded suffix snapshot; falls back to the host.
-
-    PSL algorithm: longest matching suffix wins; registrable = suffix plus one
-    more label. Hosts that *are* a suffix, IPs, and single labels return as-is.
+    """eTLD+1 via the complete publicsuffix.org algorithm over the vendored
+    snapshot: exception rules (``!``) prevail, then the longest matching rule
+    (``*`` matches exactly one label), else the implicit ``*`` default (last
+    label). Hosts that *are* a public suffix, IPs, and bracketed literals
+    return as-is; registrable = prevailing suffix plus one label.
     """
-    if not host or host.replace(".", "").isdigit():
+    if not host or host.replace(".", "").isdigit() or host.startswith("["):
         return host
     labels = host.lower().rstrip(".").split(".")
-    best = 0
-    for i in range(len(labels)):
-        cand = ".".join(labels[i:])
-        if cand in _PSL_SUFFIXES:
-            best = len(labels) - i
+    n = len(labels)
+    ps_len = 0
+    for i in range(n):  # longest tails first: first hit wins
+        if "!" + ".".join(labels[i:]) in PSL_EXCEPTIONS:
+            # exception: the public suffix is the rule minus its left label
+            ps_len = n - i - 1
             break
-    if best == 0:
-        best = 1  # unknown TLD: treat last label as the suffix
-    take = best + 1
-    if take >= len(labels):
-        return ".".join(labels)
-    return ".".join(labels[-take:])
+        if ".".join(labels[i:]) in PSL_RULES or (
+            i + 1 < n and "*." + ".".join(labels[i + 1 :]) in PSL_WILDCARDS
+        ):
+            ps_len = n - i
+            break
+    if ps_len == 0:
+        ps_len = 1  # implicit '*' default rule: unknown TLD
+    if ps_len >= n:
+        return ".".join(labels)  # the host IS a public suffix
+    return ".".join(labels[-(ps_len + 1) :])

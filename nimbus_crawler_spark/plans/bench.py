@@ -177,7 +177,7 @@ def seed_full_frontier(spark: SparkSession, store: SnapshotStore, pages_path: st
             "domains": spark.createDataFrame([], DOMAINS_SCHEMA),
             "seen_filter": seen,
         },
-        meta={"fetched_total": 0, "bench": "mega-round"},
+        meta={"fetched_total": 0, "frontier_pending_after": n, "bench": "mega-round"},
     )
     return n
 

@@ -61,7 +61,12 @@ def seed(spark: SparkSession, store: SnapshotStore, seeds_text: str, cfg: CrawlC
             "url_state": df,
             "domains": spark.createDataFrame([], DOMAINS_SCHEMA),
         },
-        meta={"seeds": len(rows), "fetched_total": 0, "config_hash": cfg.config_hash()},
+        meta={
+            "seeds": len(rows),
+            "fetched_total": 0,
+            "frontier_pending_after": len(rows),
+            "config_hash": cfg.config_hash(),
+        },
     )
     return len(rows)
 
@@ -95,12 +100,20 @@ def crawl(
         start_round = 0
         fetched_total = 0
 
-    for r in range(start_round, start_round + max_rounds):
+    r = start_round
+    while r < start_round + max_rounds:
         stats = run_round(spark, store, pages, cfg, r, fetched_total)
         summary.round_stats.append(stats)
         fetched_total = stats["fetched_total"]
         summary.rounds_run += 1
-        if stats["frontier_pending"] == 0:
+        # stop as soon as the frontier is known-drained (derived metric from
+        # this round's commit — saves the trailing no-op round); fall back to
+        # the round-start view for markers without the derived key
+        if stats.get("frontier_pending_after", stats["frontier_pending"]) == 0:
             break
+        # fast-forward over provably-empty wait rounds (all pending URLs in
+        # backoff) — the oracle `continue`s through them; the engine skips
+        # straight to the first round with eligible work
+        r = max(r + 1, stats.get("skip_to", r + 1))
     summary.fetched_total = fetched_total
     return summary

@@ -61,6 +61,20 @@ def _backoff_rounds_expr(retry, cfg: CrawlConfig):
     return F.greatest(F.lit(1), F.ceil(secs * 1000.0 / cfg.round_ms))
 
 
+def _mat(df: DataFrame) -> DataFrame:
+    """Materialization strategy for round-scoped intermediates (A/B'd on this
+    host): 'eager' localCheckpoint pays one planning pass up front and every
+    consumer then plans against a tiny LogicalRDD — measured fastest; 'lazy'
+    defers the pass; 'persist' skips lineage truncation (slowest: every
+    action re-analyzes the full tree). Env NIMBUS_ROUND_MAT overrides."""
+    import os
+
+    mode = os.environ.get("NIMBUS_ROUND_MAT", "eager")
+    if mode == "persist":
+        return df.persist()
+    return df.localCheckpoint(eager=(mode == "eager"))
+
+
 def _pkey(cfg: CrawlConfig):
     if cfg.politeness_key == "registrable_domain":
         return registrable_domain_udf(F.col("host"))
@@ -97,14 +111,57 @@ def run_round(
             ).localCheckpoint(eager=True)
 
     frontier = state.where(F.col("status").isin("pending", "crawling"))
-    frontier_pending = frontier.count()
+    # frontier size is DERIVED from the previous round's merge metrics (no
+    # count job over state); fallback scan-count only for pre-metric markers
+    c = store.latest_commit()
+    frontier_pending = None
+    if c is not None:
+        m = c.get("meta", {})
+        if "frontier_pending_after" in m:
+            frontier_pending = m["frontier_pending_after"]
+    if frontier_pending is None:
+        frontier_pending = frontier.count()
     if frontier_pending == 0:
-        store.commit(r, meta={"frontier_pending": 0, "scheduled": 0, "fetched_total": fetched_total})
-        return {"frontier_pending": 0, "scheduled": 0, "fetched": 0, "fetched_total": fetched_total}
+        store.commit(
+            r,
+            meta={
+                "frontier_pending": 0,
+                "frontier_pending_after": 0,
+                "scheduled": 0,
+                "fetched": 0,
+                "fetched_total": fetched_total,
+            },
+        )
+        return {
+            "frontier_pending": 0,
+            "frontier_pending_after": 0,
+            "scheduled": 0,
+            "fetched": 0,
+            "fetched_total": fetched_total,
+        }
 
     backpressured = (
         cfg.frontier_backpressure is not None and frontier_pending > cfg.frontier_backpressure
     )
+
+    # O4: lossy frontier trim (queue/publisher.go:12,29-33 — XAdd MaxLen
+    # evicts the oldest stream entries). Keep the newest `frontier_trim`
+    # rows by (discovered_round, depth, seq); victims become 'trimmed'
+    # (terminal — they stay in the seen set, exactly like a stranded
+    # pending row in the reference's DB after its stream entry is evicted).
+    trimmed = None
+    if cfg.frontier_trim is not None and frontier_pending > cfg.frontier_trim:
+        from ..operators.ranking import global_row_number
+
+        n_drop = frontier_pending - cfg.frontier_trim
+        ranked = global_row_number(
+            frontier,
+            ["discovered_round", "depth", "seq"],
+            "_age_rank",
+            num_partitions=cfg.shuffle_partitions,
+        )
+        trimmed = _mat(ranked.where(F.col("_age_rank") < n_drop).drop("_age_rank"))
+        frontier = ranked.where(F.col("_age_rank") >= n_drop).drop("_age_rank")
 
     eligible = frontier.where(
         (F.col("next_round") <= r) & (F.col("depth") <= cfg.max_depth)
@@ -135,7 +192,7 @@ def run_round(
             F.lit(r).cast("long").alias("first_seen_round"),
         )
     )
-    domains_all = domains.unionByName(new_domains).localCheckpoint(eager=True)
+    domains_all = _mat(domains.unionByName(new_domains))
 
     # --- robots gate (F5) ---------------------------------------------------
     cand = eligible.join(
@@ -165,7 +222,8 @@ def run_round(
         salt_buckets=cfg.host_salt_buckets,
         round_capacity=cfg.round_capacity,
         key_col="pkey",
-    ).localCheckpoint(eager=True)  # cut lineage: selection feeds clock, fetch, and state merge
+    )
+    selected = _mat(selected)  # feeds clock, fetch, flags, and the failure anti-join
 
     clock = advance_clock(selected, key_col="pkey")
 
@@ -243,8 +301,7 @@ def run_round(
     )
     # the single big materialization of the round: parsed + flagged rows,
     # payload columns are text/links only (html already dropped)
-    hashed = ok_rows.join(flags, "url").localCheckpoint(eager=True)
-    n_fetched = hashed.count()
+    hashed = _mat(ok_rows.join(flags, "url"))
 
     failed_rows = selected.join(hashed.select("url"), "url", "left_anti").withColumn(
         "_retry", F.col("retry_count") + 1
@@ -309,11 +366,7 @@ def run_round(
         # materialized once: consumed by BOTH the url_state merge and the
         # seen_filter incremental update (otherwise the explode→dedup→bloom
         # pipeline runs twice)
-        children = (
-            _with_keys(children, cfg.state_buckets)
-            .select(*_STATE_COLS)
-            .localCheckpoint(eager=True)
-        )
+        children = _mat(_with_keys(children, cfg.state_buckets).select(*_STATE_COLS))
 
     # --- state updates (U1-U6) ----------------------------------------------
     def as_state(df: DataFrame, **overrides) -> DataFrame:
@@ -363,6 +416,8 @@ def run_round(
         .unionByName(children)
         .select(*_STATE_COLS)
     )
+    if trimmed is not None:
+        upserts = upserts.unionByName(as_state(trimmed, status=F.lit("trimmed")))
 
     # --- domains politeness clock advance -----------------------------------
     new_domains_state = (
@@ -433,8 +488,6 @@ def run_round(
         _stage_lineage(failed_rows, "fetch_fail", F.lit(0))
     )
 
-    scheduled = selected.count()
-    fetched_total += n_fetched
     snapshots = {"domains": new_domains_state}
     if cfg.use_seen_bloom:
         from ..operators.dedup import update_seen_filter
@@ -445,23 +498,75 @@ def run_round(
             cfg.bloom_nbits_per_bucket,
             cfg.bloom_num_hashes,
         )
-    store.commit(
+
+    # Per-round counters ride the delta write as Observations — no dedicated
+    # count() jobs. Upsert rows map 1:1 onto round outcomes:
+    #   parsed | skipped+html_key  → fetched-ok (dup or parsed)    [scheduled]
+    #   crawling | failed          → fetch failures (retry/dead)   [scheduled]
+    #   skipped + null html_key    → robots-denied (not scheduled)
+    #   discovered_round == r      → new children
+    # and every non-child upsert row left the frontier unless its new status
+    # is pending/crawling again.
+    metric_exprs = {
+        "n_rows": F.count(F.lit(1)),
+        "n_children": F.count(F.when(F.col("discovered_round") == r, 1)),
+        "n_pending_now": F.count(F.when(F.col("status").isin("pending", "crawling"), 1)),
+        "n_fetched": F.count(
+            F.when(
+                (F.col("status") == "parsed")
+                | ((F.col("status") == "skipped") & F.col("html_key").isNotNull()),
+                1,
+            )
+        ),
+        "n_failed": F.count(F.when(F.col("status").isin("crawling", "failed"), 1)),
+    }
+
+    def finalize(collected: dict) -> dict:
+        mm = collected["url_state"]
+        n_fetched = int(mm["n_fetched"])
+        return {
+            "scheduled": n_fetched + int(mm["n_failed"]),
+            "fetched": n_fetched,
+            "fetched_total": fetched_total + n_fetched,
+            "frontier_pending_after": frontier_pending
+            - (int(mm["n_rows"]) - int(mm["n_children"]))
+            + int(mm["n_pending_now"]),
+        }
+
+    marker = store.commit(
         r,
         snapshots=snapshots,
         merges={"url_state": upserts},
         appends={"crawl_results": results, "quarantine": quarantine, "lineage": lineage},
         meta={
             "frontier_pending": frontier_pending,
-            "scheduled": scheduled,
-            "fetched": n_fetched,
-            "fetched_total": fetched_total,
             "config_hash": cfg.config_hash(),
             "backpressured": backpressured,
         },
+        merge_metrics={"url_state": metric_exprs},
+        meta_fn=finalize,
     )
-    return {
+    # release round-scoped storage (executor memory is per-round, not
+    # accumulating across a long crawl; applies to persist and checkpoint
+    # blocks alike)
+    for _df in (domains_all, selected, hashed, children, trimmed):
+        if _df is not None:
+            _df.unpersist()
+
+    fm = marker["meta"]
+    stats = {
         "frontier_pending": frontier_pending,
-        "scheduled": scheduled,
-        "fetched": n_fetched,
-        "fetched_total": fetched_total,
+        "frontier_pending_after": fm["frontier_pending_after"],
+        "scheduled": fm["scheduled"],
+        "fetched": fm["fetched"],
+        "fetched_total": fm["fetched_total"],
     }
+    if fm["scheduled"] == 0 and fm["frontier_pending_after"] > 0:
+        # pure wait round (every pending URL is backing off): tell the loop
+        # how far to fast-forward — rounds in (r, min_next) are provably
+        # no-ops (nothing eligible), identical to the oracle's `continue`.
+        # One tiny agg job, only on this rare path.
+        min_next = frontier.agg(F.min("next_round")).collect()[0][0]
+        if min_next is not None and min_next > r + 1:
+            stats["skip_to"] = int(min_next)
+    return stats

@@ -1,0 +1,54 @@
+"""One scaling measurement in an isolated process (invoked by bench.py).
+
+Why a subprocess: (1) `spark.driver.memory` binds when the py4j gateway JVM
+launches — per-level heaps need fresh processes; (2) the process is pinned
+to exactly N cores via ``sched_setaffinity`` BEFORE the JVM starts, so the
+JVM, its GC threads, and the forked Python UDF workers are all confined —
+``local[2]`` on an idle 32-core host otherwise leaks onto free cores and
+inflates low-parallelism throughput, understating scaling efficiency. A
+2-core executor in a real cluster has two cores, period; this makes the
+sandbox stand-in honest in BOTH directions.
+
+Heap scales with cores (4 GiB/core by default) — constant memory-per-core,
+exactly how a real N→4N executor fleet is provisioned.
+
+Usage: python -m nimbus_crawler_spark.plans.scalerun <cores> <pages_path>
+Prints one JSON line: {"round": {...}, "parse": {...}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+
+def main() -> None:
+    cores = int(sys.argv[1])
+    pages_path = sys.argv[2]
+    cpus = sorted(os.sched_getaffinity(0))
+    os.sched_setaffinity(0, set(cpus[:cores]))
+    gb_per_core = int(os.environ.get("SPARK_GRAFT_SCALE_GB_PER_CORE", "4"))
+    os.environ["SPARK_GRAFT_DRIVER_MEM"] = f"{gb_per_core * cores}g"
+
+    from ..session import build_session
+    from .bench import bench_mega_round, bench_parse_stage
+
+    spark = build_session(
+        app_name=f"nimbus-scale-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=32,
+    )
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    wh = tempfile.mkdtemp(prefix=f"nimbus-scale-{cores}-", dir=base)
+    r = bench_mega_round(spark, pages_path, wh)
+    shutil.rmtree(wh, ignore_errors=True)
+    p = bench_parse_stage(spark, pages_path)
+    spark.stop()
+    print(json.dumps({"round": r, "parse": p}))
+
+
+if __name__ == "__main__":
+    main()

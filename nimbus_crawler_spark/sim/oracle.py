@@ -130,6 +130,17 @@ def simulate(
             cfg.frontier_backpressure is not None
             and len(frontier) > cfg.frontier_backpressure
         )
+        # O4 lossy trim (XAdd MaxLen analog): evict the OLDEST frontier rows
+        # by (discovered_round, depth, seq) down to the cap; victims become
+        # terminal 'trimmed' but remain in the seen set
+        if cfg.frontier_trim is not None and len(frontier) > cfg.frontier_trim:
+            frontier.sort(
+                key=lambda t: (t[1]["discovered_round"], t[1]["depth"], t[1]["seq"])
+            )
+            n_drop = len(frontier) - cfg.frontier_trim
+            for _u, s in frontier[:n_drop]:
+                s["status"] = "trimmed"
+            frontier = frontier[n_drop:]
         eligible = sorted(
             (
                 (u, s)

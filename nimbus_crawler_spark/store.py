@@ -140,6 +140,8 @@ class SnapshotStore:
         appends: dict[str, DataFrame] | None = None,
         merges: dict[str, DataFrame] | None = None,
         meta: dict | None = None,
+        merge_metrics: dict[str, dict] | None = None,
+        meta_fn=None,
     ) -> dict:
         """Write table data, then publish the round atomically via the marker.
 
@@ -149,6 +151,13 @@ class SnapshotStore:
         matching the merge key are replaced) — the Iceberg `MERGE INTO`
         copy-on-write on bucket partitions. ``appends`` add a delta
         (crawl_results / lineage / quarantine).
+
+        ``merge_metrics[name]`` is a dict of aggregate Columns observed on the
+        merged table's delta write (zero extra jobs — they ride the same
+        action); the results land in ``meta["merge_metrics"][name]`` and are
+        passed to ``meta_fn(collected)`` whose return is folded into meta —
+        this is how the engine derives its per-round counters without
+        dedicated count() jobs.
         """
         prev = self.latest_commit()
         tables = dict(prev["tables"]) if prev else {}
@@ -167,21 +176,32 @@ class SnapshotStore:
 
         merge_info: dict[str, dict] = {}
         merge_tmp: list[str] = []
+        collected_metrics: dict[str, dict] = {}
         for name, upserts_df in (merges or {}).items():
             key = _MERGE_KEYS.get(name, "url")
             cols0 = [f.name for f in EMPTY_SCHEMAS[name].fields]
             # phase 1: materialize the upsert delta ONCE (its lineage is the
             # round's update plan — evaluating it twice would re-run UDFs);
-            # touched buckets come from a columnar read-back of this delta
+            # touched buckets + caller metrics ride along as an Observation
+            # on the same job
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            extra = (merge_metrics or {}).get(name, {})
+            obs_cols = [F.collect_set("bucket").alias("__bs")] + [
+                c.alias(k) for k, c in extra.items()
+            ]
             urel = f"{name}/u{round_idx + 1:08d}"
-            upserts_df.select(*cols0).write.mode("overwrite").parquet(str(self.warehouse / urel))
+            upserts_df.select(*cols0).observe(obs, *obs_cols).write.mode(
+                "overwrite"
+            ).parquet(str(self.warehouse / urel))
             merge_tmp.append(urel)
             upserts = self.spark.read.schema(EMPTY_SCHEMAS[name]).parquet(
                 str(self.warehouse / urel)
             )
-            touched = sorted(
-                r["bucket"] for r in upserts.select("bucket").distinct().collect()
-            )
+            got = obs.get
+            touched = sorted(got["__bs"])
+            collected_metrics[name] = {k: got[k] for k in extra}
             if not touched:
                 continue  # nothing to merge — prior mapping stands
             prior_entry = tables.get(name)
@@ -246,11 +266,16 @@ class SnapshotStore:
             name: {"bytes": self._dir_bytes(rel), **merge_info.get(name, {})}
             for name, rel, _df in jobs
         }
+        final_meta = {**(meta or {}), "write_stats": write_stats}
+        if collected_metrics:
+            final_meta["merge_metrics"] = collected_metrics
+        if meta_fn is not None:
+            final_meta.update(meta_fn(collected_metrics))
         marker = {
             "round": round_idx,
             "tables": tables,
             "appends": all_appends,
-            "meta": {**(meta or {}), "write_stats": write_stats},
+            "meta": final_meta,
             "committed_at": time.time(),
         }
         tmp = self.warehouse / _COMMITS / f".tmp-{round_idx + 1:08d}.json"

@@ -33,7 +33,7 @@ def _run_both(spark, corpus, cfg, tmp_path, name):
 
 
 def test_registrable_domain_politeness(spark, corpus, tmp_path):
-    cfg = CrawlConfig(politeness_key="registrable_domain")
+    cfg = CrawlConfig(politeness_key="registrable_domain", round_ms=4000)
     oracle, state, eorder, oorder = _run_both(spark, corpus, cfg, tmp_path, "regdom")
     assert set(state) == oracle.seen_set
     assert eorder == oorder
@@ -44,7 +44,7 @@ def test_registrable_domain_politeness(spark, corpus, tmp_path):
 def test_backpressure_drops_children(spark, corpus, tmp_path):
     # threshold below the corpus frontier size ⇒ children of pages parsed
     # while backpressured are neither inserted nor enqueued (parser.go:158-164)
-    cfg = CrawlConfig(frontier_backpressure=3)
+    cfg = CrawlConfig(frontier_backpressure=3, round_ms=4000)
     oracle, state, eorder, oorder = _run_both(spark, corpus, cfg, tmp_path, "bp")
     assert set(state) == oracle.seen_set
     assert eorder == oorder
@@ -54,8 +54,11 @@ def test_backpressure_drops_children(spark, corpus, tmp_path):
     assert len(oracle.seen_set) < len(full.seen_set)
 
 
-def test_round_capacity_cap(spark, corpus, tmp_path):
-    cfg = CrawlConfig(round_capacity=2)
+def test_round_capacity_cap(spark, tmp_path):
+    # dedicated small corpus: cap=2 forces one round per 2 fetches, so the
+    # round count (and test wall) is proportional to corpus size
+    corpus = make_corpus(seed=5, n_hosts=2, pages_per_host=4)
+    cfg = CrawlConfig(round_capacity=2, round_ms=4000)
     oracle, state, eorder, oorder = _run_both(spark, corpus, cfg, tmp_path, "cap")
     assert set(state) == oracle.seen_set
     assert eorder == oorder
@@ -69,7 +72,7 @@ def test_round_capacity_cap(spark, corpus, tmp_path):
 def test_backoff_jitter_engine_matches_oracle(spark, corpus, tmp_path):
     # non-zero deterministic jitter: engine's column formula must stay
     # bit-identical to functions/backoff.backoff_rounds (ADVICE r1)
-    cfg = CrawlConfig(backoff_jitter=0.7)
+    cfg = CrawlConfig(backoff_jitter=0.7, round_ms=2000)
     oracle, state, eorder, oorder = _run_both(spark, corpus, cfg, tmp_path, "jitter")
     assert set(state) == oracle.seen_set
     assert eorder == oorder
@@ -99,7 +102,7 @@ def test_null_html_is_fetch_failure(spark, corpus, tmp_path):
             p["html"] = None
             break
     assert victim is not None
-    cfg = CrawlConfig()
+    cfg = CrawlConfig(round_ms=4000)
     oracle, state, eorder, oorder = _run_both(spark, c2, cfg, tmp_path, "nullhtml")
     assert set(state) == oracle.seen_set
     assert eorder == oorder
@@ -107,8 +110,25 @@ def test_null_html_is_fetch_failure(spark, corpus, tmp_path):
     assert state[victim]["retry_count"] == oracle.url_state[victim]["retry_count"] >= 1
 
 
+def test_frontier_trim_lossy(spark, corpus, tmp_path):
+    # O4: XAdd MaxLen analog — oldest pending rows are evicted ('trimmed')
+    # when the frontier exceeds the cap; engine must match the oracle row
+    # for row, and the crawl must be strictly lossy vs the lossless run
+    cfg = CrawlConfig(frontier_trim=6, round_ms=4000)
+    oracle, state, eorder, oorder = _run_both(spark, corpus, cfg, tmp_path, "trim")
+    assert set(state) == oracle.seen_set
+    assert eorder == oorder
+    for u, s in state.items():
+        assert s["status"] == oracle.url_state[u]["status"], u
+    assert any(s["status"] == "trimmed" for s in state.values())
+    full = simulate(
+        {p["url"]: p for p in corpus.pages}, corpus.seeds_text, CrawlConfig(round_ms=4000)
+    )
+    assert len(oorder) < len(full.crawl_order)
+
+
 def test_robots_disabled(spark, corpus, tmp_path):
-    cfg = CrawlConfig(respect_robots_txt=False)
+    cfg = CrawlConfig(respect_robots_txt=False, round_ms=4000)
     oracle, state, eorder, oorder = _run_both(spark, corpus, cfg, tmp_path, "norobots")
     assert set(state) == oracle.seen_set
     assert eorder == oorder

@@ -17,6 +17,15 @@ def small(spark):
     return corpus, corpus_to_pages_df(spark, corpus)
 
 
+@pytest.fixture(scope="module")
+def lossless_final(spark, small, tmp_path_factory):
+    """One uninterrupted reference crawl, shared by every equality test."""
+    corpus, pages = small
+    wh = str(tmp_path_factory.mktemp("ref") / "full")
+    crawl(spark, wh, pages, corpus.seeds_text, CrawlConfig(round_ms=4000), max_rounds=60)
+    return _final_state(spark, wh)
+
+
 def _final_state(spark, wh):
     store = SnapshotStore(spark, wh)
     return (
@@ -28,23 +37,20 @@ def _final_state(spark, wh):
     )
 
 
-def test_interrupt_and_resume_equals_uninterrupted(spark, small, tmp_path):
+def test_interrupt_and_resume_equals_uninterrupted(spark, small, lossless_final, tmp_path):
     corpus, pages = small
-    cfg = CrawlConfig()
-
-    crawl(spark, str(tmp_path / "full"), pages, corpus.seeds_text, cfg, max_rounds=60)
-    expected = _final_state(spark, str(tmp_path / "full"))
+    cfg = CrawlConfig(round_ms=4000)
 
     # "kill" after 3 rounds, then resume to completion
     wh = str(tmp_path / "resumed")
     crawl(spark, wh, pages, corpus.seeds_text, cfg, max_rounds=3)
     crawl(spark, wh, pages, None, cfg, max_rounds=60, resume=True)
-    assert _final_state(spark, wh) == expected
+    assert _final_state(spark, wh) == lossless_final
 
 
-def test_uncommitted_round_data_is_ignored(spark, small, tmp_path):
+def test_uncommitted_round_data_is_ignored(spark, small, lossless_final, tmp_path):
     corpus, pages = small
-    cfg = CrawlConfig()
+    cfg = CrawlConfig(round_ms=4000)
     wh = tmp_path / "torn"
     crawl(spark, str(wh), pages, corpus.seeds_text, cfg, max_rounds=2)
     store = SnapshotStore(spark, str(wh))
@@ -59,9 +65,7 @@ def test_uncommitted_round_data_is_ignored(spark, small, tmp_path):
 
     assert store.latest_round() == committed  # torn data invisible
     crawl(spark, str(wh), pages, None, cfg, max_rounds=60, resume=True)
-    full = tmp_path / "ref"
-    crawl(spark, str(full), pages, corpus.seeds_text, cfg, max_rounds=60)
-    assert _final_state(spark, str(wh))[0] == _final_state(spark, str(full))[0]
+    assert _final_state(spark, str(wh))[0] == lossless_final[0]
 
 
 def test_commit_marker_contents(spark, small, tmp_path):

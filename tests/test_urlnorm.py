@@ -98,3 +98,34 @@ class TestRegistrableDomain:
         assert registrable_domain("example.com") == "example.com"
         assert registrable_domain("localhost") == "localhost"
         assert registrable_domain("127.0.0.1") == "127.0.0.1"
+
+    def test_registrable_domain_full_psl_semantics(self):
+        # multi-label ICP rules
+        assert registrable_domain("www.bbc.co.uk") == "bbc.co.uk"
+        assert registrable_domain("a.b.city.gov.uk") == "city.gov.uk"
+        assert registrable_domain("shop.example.com.au") == "example.com.au"
+        assert registrable_domain("x.y.rakuten.co.jp") == "rakuten.co.jp"
+        assert registrable_domain("pref.metro.tokyo.jp") == "metro.tokyo.jp"
+        assert registrable_domain("b.k12.ca.us") == "b.k12.ca.us"
+        assert registrable_domain("school.k12.ca.us") == "school.k12.ca.us"
+        # wildcard rules: '*' matches exactly one label
+        assert registrable_domain("a.b.ck") == "a.b.ck"
+        assert registrable_domain("x.a.b.ck") == "a.b.ck"
+        assert registrable_domain("vm1.us-east-1.compute.amazonaws.com") == (
+            "vm1.us-east-1.compute.amazonaws.com"
+        )
+        # exception rules prevail over wildcards
+        assert registrable_domain("www.ck") == "www.ck"
+        assert registrable_domain("foo.www.ck") == "www.ck"
+        assert registrable_domain("city.kawasaki.jp") == "city.kawasaki.jp"
+        assert registrable_domain("sub.city.kawasaki.jp") == "city.kawasaki.jp"
+        # '*.kawasaki.jp' makes ward.kawasaki.jp itself a public suffix
+        assert registrable_domain("ward.kawasaki.jp") == "ward.kawasaki.jp"
+        assert registrable_domain("x.ward.kawasaki.jp") == "x.ward.kawasaki.jp"
+        # a host that IS a public suffix returns as-is
+        assert registrable_domain("co.uk") == "co.uk"
+        assert registrable_domain("github.io") == "github.io"
+        # unknown TLD falls back to the implicit '*' default rule
+        assert registrable_domain("foo.bar.unknowntld") == "bar.unknowntld"
+        # trailing dot + case normalization
+        assert registrable_domain("WWW.Example.CO.UK.") == "example.co.uk"
