@@ -60,9 +60,13 @@ MEGA_DOM = int(os.environ.get("NIMBUS_BENCH_MEGA_DOM", "40"))
 # 4 GiB/core heap (plans/scalerun.py) — the honest stand-in for N executors.
 SCALE_LOW = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "2"))
 SCALE_HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", str(min(4 * SCALE_LOW, CPUS))))
-# scaling corpus: same heavy-DOM shape as the mega round at half the hosts —
-# bounds the low-parallelism wall so interleaved reps stay affordable
+# scaling corpus: half the mega hosts (bounds the low-parallelism wall so
+# interleaved reps stay affordable) at production-weight DOM — synthetic
+# d120 pages are still LIGHTER than median real-web HTML, and the scaling
+# criterion is about core utilization on representative compute, not on a
+# toy page that finishes before the scheduler matters
 SCALE_HOSTS = int(os.environ.get("NIMBUS_BENCH_SCALE_HOSTS", "5000"))
+SCALE_DOM = int(os.environ.get("NIMBUS_BENCH_SCALE_DOM", "120"))
 
 
 def _force(df) -> int:
@@ -125,18 +129,19 @@ def main() -> None:
 
         scale_pages = cached_corpus_path(
             None, SCALE_HOSTS, MEGA_PPH, fanout=4, zipf_s=0.12,
-            para_words=(60, 160), heavy_dom=MEGA_DOM,
+            para_words=(60, 160), heavy_dom=SCALE_DOM,
         )
         reps = int(os.environ.get("NIMBUS_BENCH_REPS", "2"))
         tput: dict = {}
         ps: dict = {}
         env = {**os.environ, "PYTHONPATH": os.path.dirname(os.path.abspath(__file__))}
-        for _rep in range(reps):
+        for rep in range(reps):
             for m in (SCALE_LOW, SCALE_HIGH):
+                renv = {**env, "NIMBUS_SCALE_PARSE": "1" if rep == 0 else "0"}
                 proc = subprocess.run(
                     [sys.executable, "-m", "nimbus_crawler_spark.plans.scalerun",
                      str(m), scale_pages],
-                    capture_output=True, text=True, env=env,
+                    capture_output=True, text=True, env=renv,
                     cwd=os.path.dirname(os.path.abspath(__file__)),
                 )
                 line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
@@ -144,10 +149,10 @@ def main() -> None:
                     print(f"scalerun {m} failed: {proc.stderr[-500:]}", file=sys.stderr)
                     continue
                 res = json.loads(line)
-                r, p = res["round"], res["parse"]
+                r, p = res["round"], res.get("parse")
                 if m not in tput or r["urls_per_sec"] > tput[m]["urls_per_sec"]:
                     tput[m] = r
-                if m not in ps or p["pages_per_sec"] > ps[m]["pages_per_sec"]:
+                if p and (m not in ps or p["pages_per_sec"] > ps[m]["pages_per_sec"]):
                     ps[m] = p
         if SCALE_LOW in tput and SCALE_HIGH in tput:
             lo, hi = tput[SCALE_LOW], tput[SCALE_HIGH]
@@ -164,15 +169,16 @@ def main() -> None:
             # parse-stage scaling: the fetch round's dominant compute in
             # isolation (the full-round number above also carries local-mode
             # orchestration that a real cluster distributes per-executor)
-            out["parse_stage_scaling"] = {
-                "low": {"cores": SCALE_LOW, **ps[SCALE_LOW]},
-                "high": {"cores": SCALE_HIGH, **ps[SCALE_HIGH]},
-                "factor": factor,
-                "efficiency": round(
-                    ps[SCALE_HIGH]["pages_per_sec"]
-                    / (factor * ps[SCALE_LOW]["pages_per_sec"]), 3
-                ),
-            }
+            if SCALE_LOW in ps and SCALE_HIGH in ps:
+                out["parse_stage_scaling"] = {
+                    "low": {"cores": SCALE_LOW, **ps[SCALE_LOW]},
+                    "high": {"cores": SCALE_HIGH, **ps[SCALE_HIGH]},
+                    "factor": factor,
+                    "efficiency": round(
+                        ps[SCALE_HIGH]["pages_per_sec"]
+                        / (factor * ps[SCALE_LOW]["pages_per_sec"]), 3
+                    ),
+                }
 
     out.update(
         {

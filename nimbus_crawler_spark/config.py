@@ -36,6 +36,11 @@ class CrawlConfig:
     # XAdd MaxLen≈100000 oldest-entry eviction (queue/publisher.go:12,29-33);
     # None (default) = lossless frontier.
     frontier_trim: int | None = None
+    # fetch join strategy: when the round's frontier fits (rows), broadcast
+    # the politeness-selected side into the pages scan — page payloads then
+    # never shuffle (map-side hash join on the scan). Larger rounds fall
+    # back to a shuffle join, which AQE plans.
+    fetch_broadcast_max_rows: int = 2_000_000
     backoff_jitter: float = 0.0           # 0 ⇒ deterministic 2^retry seconds (backoff.go:11-15)
     max_links_per_page: int = 1024        # discovery_seq stride (SURVEY §4.3.3)
 

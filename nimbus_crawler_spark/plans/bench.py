@@ -45,7 +45,7 @@ def cached_corpus_path(
     """Generate-once parquet cache of a deterministic bench corpus."""
     key = (
         f"pages-s{seed}-h{n_hosts}-p{pages_per_host}-f{fanout}-z{zipf_s}"
-        f"-w{para_words[0]}x{para_words[1]}-d{heavy_dom}"
+        f"-w{para_words[0]}x{para_words[1]}-d{heavy_dom}-v2"
     )
     path = os.path.join(base_dir, key)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -67,9 +67,14 @@ def cached_corpus_path(
     return path
 
 
-def _write_pages_parquet(corpus, path: str, rows_per_file: int = 20000) -> None:
+def _write_pages_parquet(corpus, path: str, rows_per_file: int = 10000) -> None:
     """Direct pyarrow write (bypasses Spark createDataFrame pickling — ~10×
-    faster for multi-100k-row corpora)."""
+    faster for multi-100k-row corpora).
+
+    Fine row groups (2500 rows) make the files byte-range splittable: Spark
+    parallelizes a parquet scan at row-group granularity, so one-row-group
+    files cap scan parallelism at the FILE count — exactly the starvation a
+    high-core run must not inherit from the generator."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -96,7 +101,11 @@ def _write_pages_parquet(corpus, path: str, rows_per_file: int = 20000) -> None:
             },
             schema=schema,
         )
-        pq.write_table(table, os.path.join(path, f"part-{i // rows_per_file:05d}.parquet"))
+        pq.write_table(
+            table,
+            os.path.join(path, f"part-{i // rows_per_file:05d}.parquet"),
+            row_group_size=2500,
+        )
     with open(os.path.join(path, "_SUCCESS"), "w"):
         pass
 

@@ -228,12 +228,16 @@ def run_round(
     clock = advance_clock(selected, key_col="pkey")
 
     # --- fetch = closed-world join (J4/S8) + content-type gate (F8) ---------
-    # consumed exactly once (into `hashed`); the failure path is derived by
-    # anti-joining `selected` against the materialized OK rows, so the big
-    # pages join runs a single time and html is materialized only in `hashed`
-    fetched = selected.join(
-        pages.select("url", "html", "lang"), "url", "left"
-    ).withColumn("_ok", F.col("html").isNotNull() & (F.coalesce(F.col("lang"), F.lit("")) != "binary"))
+    # INNER join, selected side broadcast when the frontier is round-sized:
+    # page payloads then NEVER shuffle — the join is a map-side hash probe on
+    # the pages scan and html dies inside the same fused projection below.
+    # Missing pages / null html / binary rows simply don't survive the gate
+    # and surface on the failure path via the anti-join (U4).
+    fetch_small = frontier_pending <= cfg.fetch_broadcast_max_rows
+    sel_side = F.broadcast(selected) if fetch_small else selected
+    fetched = pages.select("url", "html", "lang").join(sel_side, "url").where(
+        F.col("html").isNotNull() & (F.coalesce(F.col("lang"), F.lit("")) != "binary")
+    )
 
     # hash / keys / parse all in ONE map-side projection over the fetch join
     # output: the html bytes cross to the Python workers exactly once (Spark
@@ -244,8 +248,8 @@ def run_round(
     # and their parse output discarded — identical results, and the dup
     # fraction is bounded, while re-shuffling html to parse after the dedup
     # verdict would cost far more at scale.
-    ok_rows = (
-        fetched.where(F.col("_ok"))
+    ok_rows = _mat(
+        fetched
         .withColumn("content_hash", F.sha2(F.col("html"), 256))
         .withColumn("html_bytes", F.length("html").cast("long"))
         .withColumn("html_key", html_key_udf("url"))
@@ -256,9 +260,9 @@ def run_round(
         .drop("_parsed", "html", "lang")
     )
 
-    # Ordering + dedup decisions run on a SLIM branch — page payloads never
-    # enter a window shuffle. The flags rejoin on `url` reuses the fetch
-    # join's hash partitioning, so only the slim side moves.
+    # Ordering + dedup decisions run on a SLIM projection of the cached parse
+    # output — page payloads never enter a window shuffle, and the corpus is
+    # scanned (and hashed) exactly once per round.
     #
     # crawl_seq: global fetch order = frontier priority (depth, seq),
     # computed by the range-partitioned distributed rank (no single-
@@ -272,24 +276,8 @@ def run_round(
         .withColumn("_prior_dup", F.lit(True))
     )
     w_hash = Window.partitionBy("content_hash").orderBy("crawl_seq")
-    # slim branch joins page *hashes* (computed map-side on the scan) — the
-    # html bytes shuffle only in the parse branch above
-    page_hashes = pages.select(
-        "url", F.sha2(F.col("html"), 256).alias("content_hash"), "lang"
-    )
-    slim = (
-        selected.select("url", "depth", "seq")
-        .join(page_hashes, "url")
-        # gate must match the fetch branch's _ok exactly: sha2(html) is null
-        # iff html is null, so a null-html row is a fetch failure here too —
-        # otherwise it would consume a crawl_seq that never reaches `hashed`
-        .where(
-            F.col("content_hash").isNotNull()
-            & (F.coalesce(F.col("lang"), F.lit("")) != "binary")
-        )
-        .select("url", "depth", "seq", "content_hash")
-    )
-    flags = (
+    slim = ok_rows.select("url", "depth", "seq", "content_hash")
+    flags = _mat(
         global_row_number(
             slim, ["depth", "seq"], "crawl_seq",
             num_partitions=cfg.shuffle_partitions, start=fetched_total,
@@ -299,11 +287,11 @@ def run_round(
         .withColumn("dup_content", (F.col("_hash_rn") > 1) | F.col("_prior_dup").isNotNull())
         .select("url", "crawl_seq", "dup_content")
     )
-    # the single big materialization of the round: parsed + flagged rows,
-    # payload columns are text/links only (html already dropped)
-    hashed = _mat(ok_rows.join(flags, "url"))
+    # cheap map-side stitch of two cached sets — consumers re-join from
+    # cache instead of re-materializing a third full copy of text+links
+    hashed = ok_rows.join(F.broadcast(flags) if fetch_small else flags, "url")
 
-    failed_rows = selected.join(hashed.select("url"), "url", "left_anti").withColumn(
+    failed_rows = selected.join(ok_rows.select("url"), "url", "left_anti").withColumn(
         "_retry", F.col("retry_count") + 1
     )
 
@@ -549,7 +537,7 @@ def run_round(
     # release round-scoped storage (executor memory is per-round, not
     # accumulating across a long crawl; applies to persist and checkpoint
     # blocks alike)
-    for _df in (domains_all, selected, hashed, children, trimmed):
+    for _df in (domains_all, selected, ok_rows, flags, children, trimmed):
         if _df is not None:
             _df.unpersist()
 
