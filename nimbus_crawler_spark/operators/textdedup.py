@@ -26,6 +26,17 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Give CPU-heavy per-row expansions (shingle explode × k hashes) full
+    cluster parallelism even when the input is a small one-file scan — a
+    single-row-group parquet otherwise pins the whole operator to ONE task.
+    No-op when the input already has enough partitions (the 100 TB case)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _tokens(text: Column) -> Column:
     """Whitespace tokens, lowercased (portable: string_split_regex in DuckDB)."""
     return F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != "")
@@ -85,7 +96,7 @@ def minhash_signatures_wide(
     shingles) and — unlike xxhash64/murmur — is bit-identical across engines,
     which keeps the operator oracle-checkable.
     """
-    sh = docs.select(
+    sh = _spread(docs).select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("shingle"),
     )
@@ -167,7 +178,7 @@ def jaccard_verify(
     text_col: str = "text",
 ) -> DataFrame:
     """Exact distinct-shingle Jaccard for candidate pairs: (a, b, jaccard)."""
-    sh = docs.select(
+    sh = _spread(docs).select(
         F.col(id_col).alias("_id"),
         F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_sh"),
     )
@@ -211,7 +222,7 @@ def simhash_fingerprints(
     nibble), else −1; fingerprint bit j = 1 iff the vote sum is positive.
     Portable across engines (md5 + substr + sum only). bits ≤ 32 (md5 hex len).
     """
-    tok = docs.select(
+    tok = _spread(docs).select(
         F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("token")
     ).withColumn("h", F.md5("token"))
     votes = [
@@ -270,7 +281,7 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard near-dup: rare-shingle candidate generation
     (doc-frequency ≤ max_doc_freq bounds the self-join fan-out — the standard
     trick that keeps this O(candidates), not O(n²)), then exact verify."""
-    sh = docs.select(
+    sh = _spread(docs).select(
         F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("shingle")
     )
     rare = (

@@ -192,10 +192,18 @@ def seed_full_frontier(spark: SparkSession, store: SnapshotStore, pages_path: st
 
 
 def bench_mega_round(spark: SparkSession, pages_path: str, warehouse: str) -> dict:
-    """One politeness-unbounded fetch round over the full frontier."""
+    """One politeness-unbounded fetch round over the full frontier.
+
+    If ``warehouse`` already holds a committed seed (template-copied by the
+    caller), seeding is skipped — repeat scaling reps then time ONLY the
+    round."""
     cfg = CrawlConfig(round_ms=3_600_000, max_depth=3, shuffle_partitions=32)
     store = SnapshotStore(spark, warehouse)
-    n = seed_full_frontier(spark, store, pages_path, cfg)
+    prior = store.latest_commit()
+    if prior is None:
+        n = seed_full_frontier(spark, store, pages_path, cfg)
+    else:
+        n = int(prior["meta"]["frontier_pending_after"])
     pages = spark.read.parquet(pages_path)
     t0 = time.perf_counter()
     stats = run_round(spark, store, pages, cfg, 0, 0)
