@@ -68,6 +68,20 @@ def main() -> None:
             os.rename(tmp_t, template)
         except OSError:  # another rep won the race
             shutil.rmtree(tmp_t, ignore_errors=True)
+    # warm the JVM (codegen, shuffle machinery) and the Python UDF workers
+    # before timing: the round must measure steady-state throughput, not
+    # JIT compilation and worker-process startup (which a long-lived
+    # production executor pays once per lifetime, not per round)
+    from pyspark.sql import functions as F
+
+    from ..functions.udfs import parse_page_udf
+
+    warm = spark.read.parquet(pages_path).limit(128 * cores)
+    warm.withColumn("p", parse_page_udf("html", "url")).select(
+        F.sum(F.length(F.col("p.text")))
+    ).collect()
+    warm.repartition(8, "url").groupBy("lang").count().collect()
+
     wh = tempfile.mkdtemp(prefix=f"nimbus-scale-{cores}-", dir=base)
     shutil.rmtree(wh, ignore_errors=True)
     shutil.copytree(template, wh)
