@@ -51,17 +51,26 @@ def main() -> int:
 
     sections: list[tuple[str, str, list[str]]] = []
 
-    # 1. fetch join: eligible ⋈ pages — column pruning + filter pushdown
+    # 1. fetch join: pages ⋈ broadcast(selected) — the round-2 shape: page
+    # payloads never shuffle (selected broadcast into the scan), and the
+    # pages scan is column-pruned to (url, html, lang)
     state = store.read("url_state")
     eligible = state.where(
         (F.col("status").isin("pending", "crawling")) & (F.col("next_round") <= 0)
     )
-    fetch = eligible.join(pages.select("url", "html", "lang"), "url", "left")
+    fetch = (
+        pages.select("url", "html", "lang")
+        .join(F.broadcast(eligible), "url")
+        .where(F.col("html").isNotNull() & (F.coalesce(F.col("lang"), F.lit("")) != "binary"))
+    )
     sections.append(
         (
-            "fetch join (J4): eligible ⋈ pages",
+            "fetch join (J4): pages ⋈ broadcast(selected) — html never shuffles",
             explain_str(fetch),
-            ["ReadSchema: struct<url:string,html:binary,lang:string>"],
+            [
+                "ReadSchema: struct<url:string,html:binary,lang:string>",
+                "BroadcastHashJoin",
+            ],
         )
     )
 
