@@ -58,10 +58,12 @@ def main() -> None:
     from ..store import SnapshotStore
     from .bench import seed_full_frontier
 
-    tkey = hashlib.sha256(pages_path.encode()).hexdigest()[:12]
+    cfg = CrawlConfig(round_ms=3_600_000, max_depth=3, shuffle_partitions=32)
+    tkey = hashlib.sha256(
+        f"{pages_path}|{cfg.config_hash()}".encode()
+    ).hexdigest()[:12]
     template = os.path.join(base or tempfile.gettempdir(), f"nimbus-scale-seed-{tkey}")
     if not os.path.exists(os.path.join(template, "_commits")):
-        cfg = CrawlConfig(round_ms=3_600_000, max_depth=3, shuffle_partitions=32)
         tmp_t = f"{template}.tmp{os.getpid()}"
         seed_full_frontier(spark, SnapshotStore(spark, tmp_t), pages_path, cfg)
         try:
