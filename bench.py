@@ -32,9 +32,14 @@ BENCH_QUERIES = [
     "politeness_budget_rank",
     "seen_antijoin",
     "content_dedup_first_wins",
+    "frontier_priority_topk",
+    "retry_backoff",
     "dedup_exact",
+    "dedup_minhash_lsh",
     "dedup_minhash_verified",
     "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "multimodal_features",
     "quality",
     "lang_id",
     "token_counts",
