@@ -39,8 +39,11 @@ class CrawlConfig:
     # fetch join strategy: when the round's frontier fits (rows), broadcast
     # the politeness-selected side into the pages scan — page payloads then
     # never shuffle (map-side hash join on the scan). Larger rounds fall
-    # back to a shuffle join, which AQE plans.
-    fetch_broadcast_max_rows: int = 2_000_000
+    # back to a shuffle join, which AQE plans. The explicit hint bypasses
+    # autoBroadcastJoinThreshold, so the cap is sized for the documented
+    # 4 GiB/core posture: ~200 B/url_state row ⇒ ≤~100 MB hash relation
+    # per executor at the default.
+    fetch_broadcast_max_rows: int = 500_000
     backoff_jitter: float = 0.0           # 0 ⇒ deterministic 2^retry seconds (backoff.go:11-15)
     max_links_per_page: int = 1024        # discovery_seq stride (SURVEY §4.3.3)
 

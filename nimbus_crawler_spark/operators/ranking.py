@@ -39,6 +39,15 @@ def global_row_number(
     part = df.repartitionByRange(num_partitions, *order_cols).withColumn(
         "_gpid", F.spark_partition_id()
     )
+    # INVARIANT: `ranked` and `offsets` below both contain the range
+    # exchange; their _gpid values agree because Spark executes the exchange
+    # ONCE and reuses it (ReusedExchange — the two subtrees are canonically
+    # identical). With exchange reuse disabled the exchange would run twice
+    # and RangePartitioner's rdd-id-seeded sampling could place boundaries
+    # differently per run, silently corrupting the ordinals — so in that
+    # configuration we pin the partitioning by materializing it first.
+    if df.sparkSession.conf.get("spark.sql.exchange.reuse", "true").lower() != "true":
+        part = part.localCheckpoint(eager=True)
     w_local = Window.partitionBy("_gpid").orderBy(*order_cols)
     ranked = part.withColumn("_glrn", F.row_number().over(w_local))
     # tiny side-plan: one row per non-empty range partition; the range

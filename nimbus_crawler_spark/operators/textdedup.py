@@ -30,11 +30,39 @@ def _spread(df: DataFrame) -> DataFrame:
     """Give CPU-heavy per-row expansions (shingle explode × k hashes) full
     cluster parallelism even when the input is a small one-file scan — a
     single-row-group parquet otherwise pins the whole operator to ONE task.
-    No-op when the input already has enough partitions (the 100 TB case)."""
+
+    Gated on the scan's FILE count (``inputFiles`` reads the logical plan —
+    no RDD conversion, no job): a 100 TB table has file count ≫ core count,
+    so this is a no-op there and the extra shuffle is never paid at scale;
+    non-file inputs (already shuffled/derived frames) pass through untouched.
+    """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file-backed plan — partitioning came from a shuffle
+        n_files = 0
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Compute-once pin for a subtree consumed by MULTIPLE downstream
+    branches (both sides of a self-join, candidate generation + verify).
+
+    Without it Spark plans the subtree once per consumer; static exchange
+    reuse only collapses canonically-identical exchanges, and the verified r2
+    plans showed the SimHash fingerprint aggregation executed per band side
+    (8×) and the MinHash signature aggregation per self-join side (2×) — an
+    8×/2× tax on the heaviest aggregation at corpus scale. ``localCheckpoint``
+    materializes the (small: one row per doc) signature/fingerprint table
+    once; every consumer then plans against the stored result. Disable with
+    NIMBUS_DEDUP_MAT=0 to get the pure-lazy plan back."""
+    import os
+
+    if os.environ.get("NIMBUS_DEDUP_MAT", "1") == "0":
+        return df
+    return df.localCheckpoint(eager=True)
 
 
 def _tokens(text: Column) -> Column:
@@ -140,9 +168,14 @@ def minhash_lsh_candidates(
 
     Band keys are projected straight off the wide signature row (md5 of the
     band's sigs in perm order) — no second aggregation shuffle; the only
-    shuffles are the signature groupBy and the bucket self-join."""
+    shuffles are the signature groupBy and the bucket self-join. The wide
+    signature table is materialized once (``_materialize``) so the
+    shingle-explode + k-min aggregation — the dominant cost at corpus scale —
+    is computed exactly once, not once per self-join side."""
     rows_per_band = num_hashes // bands
-    wide = minhash_signatures_wide(docs, num_hashes, shingle_n, id_col, text_col)
+    wide = _materialize(
+        minhash_signatures_wide(docs, num_hashes, shingle_n, id_col, text_col)
+    )
     band_structs = F.array(
         *[
             F.struct(
@@ -169,6 +202,19 @@ def minhash_lsh_candidates(
     )
 
 
+def shingle_sets(
+    docs: DataFrame, shingle_n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(_id, _sh, _n_sh): materialized distinct-shingle set per document —
+    computed once and shared by candidate generation and exact verification."""
+    return _materialize(
+        _spread(docs).select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_sh"),
+        ).withColumn("_n_sh", F.size("_sh"))
+    )
+
+
 def jaccard_verify(
     pairs: DataFrame,
     docs: DataFrame,
@@ -176,17 +222,28 @@ def jaccard_verify(
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    sets: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact distinct-shingle Jaccard for candidate pairs: (a, b, jaccard)."""
-    sh = _spread(docs).select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_sh"),
-    )
+    """Exact distinct-shingle Jaccard for candidate pairs: (a, b, jaccard).
+
+    ``sets`` (from ``shingle_sets``) shares one materialized shingle table
+    with the caller's candidate generation. A size-ratio prefilter runs
+    before the O(|set|) intersection: J(a,b) ≤ min(|A|,|B|)/max(|A|,|B|), so
+    pairs whose set sizes alone rule out the threshold never pay for the
+    array intersect — semantics-free (only provably-failing pairs drop)."""
+    sh = sets if sets is not None else shingle_sets(docs, shingle_n, id_col, text_col)
     j = (
-        pairs.join(sh.withColumnRenamed("_id", "a").withColumnRenamed("_sh", "sh_a"), "a")
-        .join(sh.withColumnRenamed("_id", "b").withColumnRenamed("_sh", "sh_b"), "b")
+        pairs.join(
+            sh.select(F.col("_id").alias("a"), F.col("_sh").alias("sh_a"), F.col("_n_sh").alias("n_a")),
+            "a",
+        )
+        .join(
+            sh.select(F.col("_id").alias("b"), F.col("_sh").alias("sh_b"), F.col("_n_sh").alias("n_b")),
+            "b",
+        )
+        .where(F.least("n_a", "n_b") >= F.lit(threshold) * F.greatest("n_a", "n_b"))
         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn("uni", F.size("sh_a") + F.size("sh_b") - F.col("inter"))
+        .withColumn("uni", F.col("n_a") + F.col("n_b") - F.col("inter"))
         .withColumn(
             "jaccard",
             # explicit HALF_UP (see textstats.round_half_up): small-integer
@@ -249,20 +306,38 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band join (pigeonhole: ≤max_hamming diffs
     over ``bands`` bands ⇒ some band equal when bands > max_hamming), then
-    exact Hamming verify via bit_count(xor)."""
-    fps = simhash_fingerprints(docs, id_col, text_col, bits)
+    exact Hamming verify via bit_count(xor).
+
+    The fingerprint table is materialized once (``_materialize``); all band
+    keys are projected off it in ONE explode (mirroring the MinHash
+    ``band_structs`` shape) — the token-explode + vote aggregation, the
+    dominant cost at corpus scale, is computed exactly once rather than once
+    per band side (8× in the pre-materialization plan)."""
+    fps = _materialize(simhash_fingerprints(docs, id_col, text_col, bits))
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
-    out = None
-    for band in range(bands):
-        key = F.shiftright(F.col("simhash"), band * band_bits).bitwiseAND(F.lit(mask))
-        banded = fps.withColumn("band_key", key).withColumn("band", F.lit(band))
-        a = banded.select(F.col(id_col).alias("a"), F.col("simhash").alias("sh_a"), "band", "band_key")
-        b = banded.select(F.col(id_col).alias("b"), F.col("simhash").alias("sh_b"), "band", "band_key")
-        pairs = a.join(b, ["band", "band_key"]).where(F.col("a") < F.col("b"))
-        out = pairs if out is None else out.unionByName(pairs)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.shiftright(F.col("simhash"), band * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_key"),
+            )
+            for band in range(bands)
+        ]
+    )
+    banded = fps.select(
+        F.col(id_col), F.col("simhash"), F.explode(band_structs).alias("_bk")
+    ).select(
+        id_col, "simhash", F.col("_bk.band").alias("band"), F.col("_bk.band_key").alias("band_key")
+    )
+    a = banded.select(F.col(id_col).alias("a"), F.col("simhash").alias("sh_a"), "band", "band_key")
+    b = banded.select(F.col(id_col).alias("b"), F.col("simhash").alias("sh_b"), "band", "band_key")
     return (
-        out.select("a", "b", "sh_a", "sh_b")
+        a.join(b, ["band", "band_key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "sh_a", "sh_b")
         .distinct()
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .where(F.col("hamming") <= max_hamming)
@@ -277,13 +352,20 @@ def ngram_jaccard_pairs(
     max_doc_freq: int = 20,
     id_col: str = "doc_id",
     text_col: str = "text",
+    observation=None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup: rare-shingle candidate generation
     (doc-frequency ≤ max_doc_freq bounds the self-join fan-out — the standard
-    trick that keeps this O(candidates), not O(n²)), then exact verify."""
-    sh = _spread(docs).select(
-        F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("shingle")
-    )
+    trick that keeps this O(candidates), not O(n²)), then exact verify.
+
+    The tokenize+shingle pass is computed once (``shingle_sets``) and shared
+    by doc-frequency counting, the candidate self-join, and verification.
+    ``max_doc_freq`` is a silent coverage cap (pairs sharing only high-DF
+    shingles are never candidates) — pass an ``Observation`` to surface the
+    candidate-pair count on the consuming action (no extra job):
+    ``obs.get["candidate_pairs"]`` after the result is materialized."""
+    sets = shingle_sets(docs, shingle_n, id_col, text_col)
+    sh = sets.select(F.col("_id").alias(id_col), F.explode("_sh").alias("shingle"))
     rare = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("df"))
@@ -298,4 +380,6 @@ def ngram_jaccard_pairs(
         .select(F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b"))
         .distinct()
     )
-    return jaccard_verify(cands, docs, threshold, shingle_n, id_col, text_col)
+    if observation is not None:
+        cands = cands.observe(observation, F.count(F.lit(1)).alias("candidate_pairs"))
+    return jaccard_verify(cands, docs, threshold, shingle_n, id_col, text_col, sets=sets)

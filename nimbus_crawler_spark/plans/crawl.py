@@ -91,6 +91,19 @@ def crawl(
 
     last = store.latest_commit()
     if resume and last is not None:
+        # Guard: with bucket-partial MERGE, resuming under a different
+        # state_buckets would silently duplicate rows (the star segment still
+        # serves the old bucket of a row while the merge segment serves its
+        # new bucket). Under full-snapshot rewrites a config change was
+        # benign; under MERGE it must fail loudly.
+        prior_hash = last["meta"].get("config_hash")
+        if prior_hash is not None and prior_hash != cfg.config_hash():
+            raise ValueError(
+                "resume config mismatch: warehouse was committed with "
+                f"config_hash={prior_hash}, resume requested with "
+                f"{cfg.config_hash()} — resuming with a changed config "
+                "(esp. state_buckets) corrupts bucket-partial state"
+            )
         start_round = last["round"] + 1
         fetched_total = int(last["meta"].get("fetched_total", 0))
     else:

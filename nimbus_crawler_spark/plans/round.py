@@ -130,6 +130,7 @@ def run_round(
                 "scheduled": 0,
                 "fetched": 0,
                 "fetched_total": fetched_total,
+                "config_hash": cfg.config_hash(),
             },
         )
         return {
@@ -534,9 +535,13 @@ def run_round(
         merge_metrics={"url_state": metric_exprs},
         meta_fn=finalize,
     )
-    # release round-scoped storage (executor memory is per-round, not
-    # accumulating across a long crawl; applies to persist and checkpoint
-    # blocks alike)
+    # release round-scoped storage so executor memory is per-round, not
+    # accumulating across a long crawl. NOTE: this frees blocks eagerly only
+    # under NIMBUS_ROUND_MAT=persist (unpersist drops CacheManager entries);
+    # localCheckpoint-backed frames (eager/lazy modes) hold their blocks
+    # until the checkpointed RDDs are GC'd on the driver — the ContextCleaner
+    # then drops them asynchronously, which bounds storage across a long
+    # crawl without an explicit release hook.
     for _df in (domains_all, selected, ok_rows, flags, children, trimmed):
         if _df is not None:
             _df.unpersist()

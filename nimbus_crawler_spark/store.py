@@ -159,6 +159,12 @@ class SnapshotStore:
         this is how the engine derives its per-round counters without
         dedicated count() jobs.
         """
+        overlap = set(snapshots or {}) & set(merges or {})
+        if overlap:
+            # a snapshot and a merge of the same table in one commit would
+            # mix data: the merge bases prior_df on the PREVIOUS commit while
+            # entry['star'] would point at the just-queued new snapshot
+            raise ValueError(f"snapshot+merge of the same table in one commit: {sorted(overlap)}")
         prev = self.latest_commit()
         tables = dict(prev["tables"]) if prev else {}
         all_appends = {k: list(v) for k, v in (prev.get("appends", {}) if prev else {}).items()}
