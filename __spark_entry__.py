@@ -442,6 +442,27 @@ def _q_multimodal_features(spark, sf_dir):
     )
 
 
+def _q_multimodal_raw_stats(spark, sf_dir):
+    """Raw byte-stats decode path (codec='raw') with a full DuckDB oracle:
+    n_bytes, 16-bin (>>4) histogram, Shannon entropy, and frame sampling are
+    all SQL-derivable over the documents' (ASCII) payload bytes — hash-level
+    correctness for the multimodal mapInPandas plumbing."""
+    from nimbus_crawler_spark.operators.multimodal import extract_features, media_from_documents
+
+    _ensure(spark)
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    feats = extract_features(media, codec="raw")
+    return feats.select(
+        "media_id",
+        "kind",
+        "format",
+        "n_bytes",
+        "byte_entropy",
+        F.concat_ws(",", F.transform("histogram", lambda x: x.cast("string"))).alias("hist_csv"),
+        "frames_sampled",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # crawl-operator analogs (SURVEY §2)
@@ -477,6 +498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_bucketed": _q_ann_bucketed,
         "embedding_norms": _q_embedding_norms,
+        # multimodal
+        "multimodal_raw_stats": _q_multimodal_raw_stats,
         # rows-only
         "crawl_smoke": _q_crawl_smoke,
         "multimodal_features": _q_multimodal_features,
@@ -810,5 +833,38 @@ WITH e AS (
 SELECT label, count(*) AS n, round(avg(nrm), 4) AS avg_norm,
        round(min(nrm), 4) AS min_norm, round(max(nrm), 4) AS max_norm
 FROM e GROUP BY label
+""",
+        # raw byte-stats decode path over the documents-derived media table:
+        # payload = utf-8 text bytes (the fixture is ASCII, so ascii(char) IS
+        # the byte value — verified octet_length(encode(text)) = length(text))
+        "multimodal_raw_stats": """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         text
+  FROM documents),
+chars AS (
+  SELECT media_id, ascii(ch) // 16 AS bin
+  FROM m, unnest(split(text, '')) AS u(ch)),
+binned AS (
+  SELECT media_id, bin, count(*) AS n FROM chars GROUP BY media_id, bin),
+tot AS (SELECT media_id, sum(n) AS nb FROM binned GROUP BY media_id),
+ent AS (
+  SELECT b.media_id,
+         floor(sum(-(CAST(n AS DOUBLE) / nb) * log2(CAST(n AS DOUBLE) / nb)) * 1000000 + 0.5) / 1000000 AS byte_entropy
+  FROM binned b JOIN tot USING (media_id) GROUP BY b.media_id),
+dense AS (
+  SELECT m.media_id, g.bin, coalesce(b.n, 0) AS n
+  FROM m CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) g
+  LEFT JOIN binned b ON b.media_id = m.media_id AND b.bin = g.bin),
+hist AS (
+  SELECT media_id, string_agg(CAST(n AS VARCHAR), ',' ORDER BY bin) AS hist_csv
+  FROM dense GROUP BY media_id)
+SELECT m.media_id, m.kind, 'raw' AS format,
+       CAST(length(m.text) AS BIGINT) AS n_bytes,
+       ent.byte_entropy, hist.hist_csv,
+       CAST(CASE WHEN m.kind = 'image' THEN 1
+                 ELSE greatest(1, length(m.text) // 256) END AS INTEGER) AS frames_sampled
+FROM m JOIN ent USING (media_id) JOIN hist USING (media_id)
 """,
     }

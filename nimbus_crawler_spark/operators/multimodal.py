@@ -55,14 +55,20 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def _hist_entropy(values: np.ndarray, nbins: int = 16) -> tuple[list[int], float]:
-    """16-bin histogram + Shannon entropy of a uint8-ranged array (vectorized)."""
+    """16-bin histogram + Shannon entropy of a uint8-ranged array (vectorized).
+
+    Entropy rounds HALF_UP to 6 dp (floor(x·1e6 + 0.5), matching the repo's
+    portable-rounding convention) so the raw byte-stats path is bit-checkable
+    against a SQL oracle — Python's ``round`` is banker's rounding."""
+    import math
+
     hist = np.bincount(values >> 4, minlength=nbins)[:nbins]
     n = int(values.size)
     if n == 0:
         return [0] * nbins, 0.0
     p = hist[hist > 0] / n
     entropy = float(-(p * np.log2(p)).sum())
-    return hist.astype(int).tolist(), round(entropy, 6)
+    return hist.astype(int).tolist(), math.floor(entropy * 1e6 + 0.5) / 1e6
 
 
 def _decode_raw(payload: bytes, kind: str) -> dict:
