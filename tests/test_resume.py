@@ -119,6 +119,59 @@ def test_bucket_partial_merge_writes_scale_with_round(spark, tmp_path):
     assert got["https://h/399"] == "pending"  # untouched bucket still served
 
 
+def test_compaction_boundary_resume_with_torn_segment(spark, tmp_path):
+    """Read-path exactness at EVERY round of a merge sequence that crosses
+    the compaction boundary, with a simulated kill between segment write and
+    marker at the boundary round and a store re-open (resume) mid-sequence.
+
+    The torn attempt leaves segment/delta dirs with no marker — they must be
+    invisible, and the retried commit (overwrite mode) must supersede them;
+    non-compacting merge commits must stay O(round), not O(state), on both
+    sides of the compaction."""
+    wh = tmp_path / "cb"
+    store = SnapshotStore(spark, str(wh), max_segments=6)
+    base = [f"https://h/{i}" for i in range(200)]
+    store.commit(-1, snapshots={"url_state": _mk_state(spark, base)})
+    base_bytes = store.latest_commit()["meta"]["write_stats"]["url_state"]["bytes"]
+    expected = {u: "pending" for u in base}
+
+    for r in range(9):  # crosses the 6-segment cap (compaction fires mid-loop)
+        if r == 3:
+            store = SnapshotStore(spark, str(wh), max_segments=6)  # resume re-open
+        upd_urls = [f"https://h/x{r}-{j}" for j in range(3)] + [base[r]]
+        if r == 4:
+            # kill between segment write and marker: a prior attempt at THIS
+            # round left garbage segment + delta dirs and a commit tmp file
+            for rel in (f"url_state/m{r + 1:08d}", f"url_state/u{r + 1:08d}"):
+                d = wh / rel
+                d.mkdir(parents=True, exist_ok=True)
+                (d / "part-00000.parquet").write_bytes(b"garbage not parquet")
+            (wh / "_commits" / f".tmp-{r + 1:08d}.json").write_text("{}")
+            # torn data is invisible before the retry commits
+            got = {row["url"]: row["status"] for row in store.read("url_state").collect()}
+            assert got == expected
+        store.commit(r, merges={"url_state": _mk_state(spark, upd_urls, status="parsed")})
+        for u in upd_urls:
+            expected[u] = "parsed"
+        got = {row["url"]: row["status"] for row in store.read("url_state").collect()}
+        assert got == expected, f"read-path mismatch after round {r}"
+        st = store.latest_commit()["meta"]["write_stats"]["url_state"]
+        if not st["compacted"]:
+            assert st["bytes"] < base_bytes / 2  # O(round) on both sides
+
+    markers = [
+        json.loads(p.read_text()) for p in sorted((wh / "_commits").glob("c*.json"))
+    ]
+    assert any(
+        m["meta"]["write_stats"].get("url_state", {}).get("compacted") for m in markers[1:]
+    )
+    # final entry shape: a composite bucket map or a post-compaction snapshot
+    entry = markers[-1]["tables"]["url_state"]
+    if isinstance(entry, dict):
+        dirs = set(entry["buckets"].values()) | ({entry["star"]} if entry["star"] else set())
+        assert len(dirs) <= 6
+
+
 def test_merge_compaction_bounds_segments(spark, tmp_path):
     store = SnapshotStore(spark, str(tmp_path / "compact"), max_segments=3)
     base = [f"https://h/{i}" for i in range(50)]
