@@ -67,12 +67,15 @@ MEGA_DOM = int(os.environ.get("NIMBUS_BENCH_MEGA_DOM", "40"))
 # 4 GiB/core heap (plans/scalerun.py) — the honest stand-in for N executors.
 SCALE_LOW = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "2"))
 SCALE_HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", str(min(4 * SCALE_LOW, CPUS))))
-# scaling corpus: half the mega hosts (bounds the low-parallelism wall so
-# interleaved reps stay affordable) at production-weight DOM — synthetic
-# d120 pages are still LIGHTER than median real-web HTML, and the scaling
-# criterion is about core utilization on representative compute, not on a
-# toy page that finishes before the scheduler matters
-SCALE_HOSTS = int(os.environ.get("NIMBUS_BENCH_SCALE_HOSTS", "5000"))
+# scaling corpus at production-weight DOM — synthetic d120 pages are still
+# LIGHTER than median real-web HTML, and the scaling criterion is about core
+# utilization on representative compute, not on a toy page that finishes
+# before the scheduler matters. Sized so the 8-core round wall is ~100 s:
+# the measured ~14 s of fixed per-round driver cost (plan construction +
+# commit latency, constant across corpus sizes and at production round
+# sizes amortized to nothing) then costs <5% of the high level instead of
+# the ~9% that capped round 2's record at 0.776.
+SCALE_HOSTS = int(os.environ.get("NIMBUS_BENCH_SCALE_HOSTS", "10000"))
 SCALE_DOM = int(os.environ.get("NIMBUS_BENCH_SCALE_DOM", "120"))
 
 

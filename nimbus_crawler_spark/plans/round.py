@@ -89,7 +89,24 @@ def run_round(
     r: int,
     fetched_total: int,
 ) -> dict:
-    """Execute round ``r``; commits atomically; returns progress stats."""
+    """Execute round ``r``; commits atomically; returns progress stats.
+
+    NIMBUS_ROUND_TIMING=1 adds ``stage_secs`` to the returned stats: wall
+    time between the round's materialization barriers (eager localCheckpoints
+    + the commit) — a driver-side stage profile with zero extra jobs."""
+    import os as _os
+    import time as _time
+
+    _timing = _os.environ.get("NIMBUS_ROUND_TIMING", "0") == "1"
+    stage_secs: dict = {}
+    _tick_last = [_time.perf_counter()]
+
+    def _tick(label: str) -> None:
+        if _timing:
+            now = _time.perf_counter()
+            stage_secs[label] = round(now - _tick_last[0], 2)
+            _tick_last[0] = now
+
     state = store.read("url_state")
     domains = store.read("domains")
 
@@ -194,6 +211,7 @@ def run_round(
         )
     )
     domains_all = _mat(domains.unionByName(new_domains))
+    _tick("domains")
 
     # --- robots gate (F5) ---------------------------------------------------
     cand = eligible.join(
@@ -225,6 +243,7 @@ def run_round(
         key_col="pkey",
     )
     selected = _mat(selected)  # feeds clock, fetch, flags, and the failure anti-join
+    _tick("select")
 
     clock = advance_clock(selected, key_col="pkey")
 
@@ -260,6 +279,7 @@ def run_round(
         .withColumn("links", F.col("_parsed.links"))
         .drop("_parsed", "html", "lang")
     )
+    _tick("fetch_parse")
 
     # Ordering + dedup decisions run on a SLIM projection of the cached parse
     # output — page payloads never enter a window shuffle, and the corpus is
@@ -288,6 +308,7 @@ def run_round(
         .withColumn("dup_content", (F.col("_hash_rn") > 1) | F.col("_prior_dup").isNotNull())
         .select("url", "crawl_seq", "dup_content")
     )
+    _tick("rank_dedup")
     # cheap map-side stitch of two cached sets — consumers re-join from
     # cache instead of re-materializing a third full copy of text+links
     hashed = ok_rows.join(F.broadcast(flags) if fetch_small else flags, "url")
@@ -356,6 +377,7 @@ def run_round(
         # seen_filter incremental update (otherwise the explode→dedup→bloom
         # pipeline runs twice)
         children = _mat(_with_keys(children, cfg.state_buckets).select(*_STATE_COLS))
+        _tick("children")
 
     # --- state updates (U1-U6) ----------------------------------------------
     def as_state(df: DataFrame, **overrides) -> DataFrame:
@@ -546,6 +568,8 @@ def run_round(
         if _df is not None:
             _df.unpersist()
 
+    _tick("commit")
+
     fm = marker["meta"]
     stats = {
         "frontier_pending": frontier_pending,
@@ -554,6 +578,8 @@ def run_round(
         "fetched": fm["fetched"],
         "fetched_total": fm["fetched_total"],
     }
+    if _timing:
+        stats["stage_secs"] = stage_secs
     if fm["scheduled"] == 0 and fm["frontier_pending_after"] > 0:
         # pure wait round (every pending URL is backing off): tell the loop
         # how far to fast-forward — rounds in (r, min_next) are provably
