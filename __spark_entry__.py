@@ -290,6 +290,19 @@ def _q_embedding_norms(spark, sf_dir):
     return norm_stats_by_label(_emb(spark, sf_dir))
 
 
+def _q_dedup_embedding_cosine(spark, sf_dir):
+    from nimbus_crawler_spark.operators.similarity import embedding_cosine_pairs
+
+    return embedding_cosine_pairs(_emb(spark, sf_dir), threshold=0.25, bits=10, bands=4)
+
+
+def _q_ann_ivf(spark, sf_dir):
+    from nimbus_crawler_spark.operators.similarity import cosine_topk_ivf
+
+    emb = _emb(spark, sf_dir)
+    return cosine_topk_ivf(emb, emb.where(F.col("vec_id") < 8), k=3, nlist=16)
+
+
 # --- crawl kernels, made oracle-checkable via constructed inputs ---
 
 def _messy_url():
@@ -497,7 +510,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_bucketed": _q_ann_bucketed,
+        "ann_ivf": _q_ann_ivf,
         "embedding_norms": _q_embedding_norms,
+        "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         # multimodal
         "multimodal_raw_stats": _q_multimodal_raw_stats,
         # rows-only
@@ -565,6 +580,33 @@ pairs AS (
 )
 SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
 FROM pairs WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
+
+
+def _embed_band_oracle(bits: int, bands: int, thr: float) -> str:
+    def key(j: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN embedding[{j * bits + i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(bits)
+        )
+
+    sel = " UNION ALL ".join(
+        f"SELECT vec_id, {j} AS band, {key(j)} AS bk FROM embeddings" for j in range(bands)
+    )
+    cos = (
+        "round(list_dot_product(p.v, q.v) / "
+        "(sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(q.v, q.v))), 6)"
+    )
+    return f"""
+WITH banded AS ({sel}),
+cand AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM banded x JOIN banded y ON x.band = y.band AND x.bk = y.bk
+  WHERE x.vec_id < y.vec_id),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT c.a, c.b, {cos} AS cosine
+FROM cand c JOIN v p ON p.vec_id = c.a JOIN v q ON q.vec_id = c.b
+WHERE {cos} >= {thr}
 """
 
 
@@ -823,6 +865,29 @@ scored AS (
   FROM e JOIN q USING (bucket) WHERE e.vec_id <> q.query_id
 )
 SELECT query_id, neighbor_id, rank, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 3
+""",
+        "dedup_embedding_cosine": _embed_band_oracle(10, 4, 0.25),
+        "ann_ivf": """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cid, v AS cv FROM v ORDER BY vec_id LIMIT 16),
+asgn AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT a.vec_id, a.v, c.cid AS cell,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY round(list_dot_product(a.v, c.cv) /
+                            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                      c.cid) AS rn
+    FROM v a CROSS JOIN cents c) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv, cell FROM asgn WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id, a.cell,
+         round(list_dot_product(q.qv, a.v) /
+               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(a.v, a.v))), 6) AS score
+  FROM asgn a JOIN q USING (cell) WHERE a.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, cell, rank, score FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
   FROM scored) WHERE rank <= 3
 """,

@@ -50,7 +50,9 @@ BENCH_QUERIES = [
     "extract_roundtrip",
     "ann_cosine_topk",
     "ann_bucketed",
+    "ann_ivf",
     "embedding_norms",
+    "dedup_embedding_cosine",
 ]
 
 # crawl-loop corpus (politeness-paced, several rounds — orchestration cost)
@@ -163,38 +165,87 @@ def main() -> None:
             None, SCALE_HOSTS, MEGA_PPH, fanout=4, zipf_s=0.12,
             para_words=(60, 160), heavy_dom=SCALE_DOM,
         )
-        # FIXED interleaved reps + per-level MEDIAN (no success-conditioned
+        # FIXED rep schedule + per-level MEDIAN (no success-conditioned
         # stopping — an adaptive stop-on-pass rule is optional-stopping bias:
-        # noise can only help it). Interleaving keeps both levels exposed to
-        # the same host-contention windows; the median absorbs the sandbox's
-        # multi-minute external bursts. All samples are recorded.
+        # noise can only help it), with a QUIET-HOST GATE before each rep.
+        #
+        # The dominant noise on this shared VM is hypervisor steal: external
+        # bursts last minutes and hit the two levels ASYMMETRICALLY — the
+        # 2-core level (2 of 32 cores) is nearly immune (±7% across every
+        # recorded sample) while the 8-core level swings ±50%. The gate is a
+        # pre-registered ENVIRONMENTAL check (steal rate from /proc/stat,
+        # measured before the rep, independent of the rep's outcome): wait in
+        # 20 s steps, bounded, until the host is quiet, then run. Each
+        # sample also records the steal accumulated DURING its timed round,
+        # so every recorded number carries its own cleanliness evidence.
+        # Rep allocation is noise-weighted: the sensitive high level gets 3
+        # reps, the insensitive low level 2 (low-side suppression could only
+        # BIAS EFFICIENCY UP, so low reps are gated-quiet and medianed too).
         import statistics
 
-        n_reps = int(os.environ.get("NIMBUS_BENCH_REPS", "3"))
+        reps_low = int(os.environ.get("NIMBUS_BENCH_REPS_LOW", "2"))
+        reps_high = int(os.environ.get("NIMBUS_BENCH_REPS_HIGH", "3"))
+        quiet_budget_s = float(os.environ.get("NIMBUS_BENCH_QUIET_BUDGET", "480"))
+        # quiet threshold: steal-rate in jiffies/s (1 jiffy = 10 ms CPU);
+        # quiet windows measure ~5-10, bursts measure hundreds+
+        quiet_thresh = float(os.environ.get("NIMBUS_BENCH_QUIET_STEAL", "60"))
         runs: dict = {SCALE_LOW: [], SCALE_HIGH: []}
         ps: dict = {}
         samples: list = []
+        gate_log: list = []
         env = {**os.environ, "PYTHONPATH": os.path.dirname(os.path.abspath(__file__))}
 
-        def one_pair(rep: int) -> None:
-            for m in (SCALE_LOW, SCALE_HIGH):
-                renv = {**env, "NIMBUS_SCALE_PARSE": "1" if rep == 0 else "0"}
-                proc = subprocess.run(
-                    [sys.executable, "-m", "nimbus_crawler_spark.plans.scalerun",
-                     str(m), scale_pages],
-                    capture_output=True, text=True, env=renv,
-                    cwd=os.path.dirname(os.path.abspath(__file__)),
-                )
-                line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
-                if not line.startswith("{"):
-                    print(f"scalerun {m} failed: {proc.stderr[-500:]}", file=sys.stderr)
-                    continue
-                res = json.loads(line)
-                r, p = res["round"], res.get("parse")
-                samples.append({"cores": m, "rep": rep, "urls_per_sec": r["urls_per_sec"]})
-                runs[m].append(r)
-                if p and (m not in ps or p["pages_per_sec"] > ps[m]["pages_per_sec"]):
-                    ps[m] = p
+        def steal_jiffies() -> int:
+            try:
+                with open("/proc/stat") as f:
+                    parts = f.readline().split()
+                return int(parts[8]) if len(parts) > 8 else 0
+            except OSError:
+                return 0
+
+        def steal_rate(window_s: float = 3.0) -> float:
+            s0 = steal_jiffies()
+            time.sleep(window_s)
+            return (steal_jiffies() - s0) / window_s
+
+        quiet_spent = [0.0]
+
+        def quiet_gate() -> float:
+            rate = steal_rate()
+            while rate > quiet_thresh and quiet_spent[0] < quiet_budget_s:
+                time.sleep(20)
+                quiet_spent[0] += 23
+                rate = steal_rate()
+            gate_log.append(round(rate, 1))
+            return rate
+
+        def one_run(m: int, rep: int, with_parse: bool) -> None:
+            pre_rate = quiet_gate()
+            renv = {**env, "NIMBUS_SCALE_PARSE": "1" if with_parse else "0"}
+            proc = subprocess.run(
+                [sys.executable, "-m", "nimbus_crawler_spark.plans.scalerun",
+                 str(m), scale_pages],
+                capture_output=True, text=True, env=renv,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+            if not line.startswith("{"):
+                print(f"scalerun {m} failed: {proc.stderr[-500:]}", file=sys.stderr)
+                return
+            res = json.loads(line)
+            r, p = res["round"], res.get("parse")
+            samples.append(
+                {
+                    "cores": m,
+                    "rep": rep,
+                    "urls_per_sec": r["urls_per_sec"],
+                    "steal_jiffies_during": r.get("steal_jiffies"),
+                    "steal_rate_before": pre_rate,
+                }
+            )
+            runs[m].append(r)
+            if p and (m not in ps or p["pages_per_sec"] > ps[m]["pages_per_sec"]):
+                ps[m] = p
 
         def median_run(rs: list) -> dict:
             med = statistics.median(r["urls_per_sec"] for r in rs)
@@ -204,8 +255,16 @@ def main() -> None:
                 "urls_per_sec_median": round(med, 1)
             }
 
-        for rep in range(n_reps):
-            one_pair(rep)
+        # interleave: L,H,L,H,(H…) — levels share contention windows as far
+        # as the asymmetric rep counts allow
+        schedule = []
+        for i in range(max(reps_low, reps_high)):
+            if i < reps_low:
+                schedule.append((SCALE_LOW, i))
+            if i < reps_high:
+                schedule.append((SCALE_HIGH, i))
+        for m, rep in schedule:
+            one_run(m, rep, with_parse=(rep == 0))
         if runs[SCALE_LOW] and runs[SCALE_HIGH]:
             lo, hi = median_run(runs[SCALE_LOW]), median_run(runs[SCALE_HIGH])
             factor = SCALE_HIGH / SCALE_LOW
@@ -216,7 +275,12 @@ def main() -> None:
                 "factor": factor,
                 "efficiency": round(eff, 3),
                 "isolation": "cpu-pinned subprocess, 4GiB/core",
-                "estimator": f"median of {n_reps} fixed interleaved reps per level",
+                "estimator": (
+                    f"median per level over fixed quiet-gated reps "
+                    f"(low×{reps_low}, high×{reps_high}; gate: steal-rate "
+                    f"< {quiet_thresh}/s before each rep, budget {quiet_budget_s:.0f}s)"
+                ),
+                "quiet_gate_rates": gate_log,
                 "samples": samples,
             }
             # parse-stage scaling: the fetch round's dominant compute in

@@ -63,14 +63,14 @@ def cosine_topk_bruteforce(
     )
 
 
-def sign_bucket(vec: Column, bits: int = 8) -> Column:
-    """Deterministic LSH-style bucket: sign pattern of the first ``bits``
-    components packed into an integer (component i ≥ 0 ⇒ bit i set)."""
+def sign_bucket(vec: Column, bits: int = 8, offset: int = 0) -> Column:
+    """Deterministic LSH-style bucket: sign pattern of ``bits`` components
+    starting at ``offset`` packed into an integer (component ≥ 0 ⇒ bit set)."""
     out = F.lit(0).cast("long")
     for i in range(bits):
-        out = out + F.when(F.element_at(vec, i + 1) >= 0, F.lit(2 ** i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        out = out + F.when(
+            F.element_at(vec, offset + i + 1) >= 0, F.lit(2 ** i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
     return out
 
 
@@ -107,6 +107,107 @@ def cosine_topk_bucketed(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def embedding_cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.25,
+    bits: int = 10,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (a < b, cosine ≥ threshold).
+
+    Banded sign-LSH candidate generation — band j's key is the sign pattern
+    of components [j·bits, (j+1)·bits); pairs sharing ≥1 band key are
+    candidates (bucket self-join, never all-pairs: the bucket fan-out is
+    bounded by 2^bits per band) — then exact cosine verification on the
+    candidate set only. The standard random-hyperplane LSH trade: pairs whose
+    signs differ in every band are missed; recall rises with ``bands`` and
+    falls with ``bits``. All JVM-side expressions, deterministic, and the
+    oracle mirrors the banded algorithm exactly."""
+    v = embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                sign_bucket(F.col("_v"), bits, offset=j * bits).alias("bk"),
+            )
+            for j in range(bands)
+        ]
+    )
+    banded = v.select("_id", F.explode(band_structs).alias("_b")).select(
+        "_id", F.col("_b.band").alias("band"), F.col("_b.bk").alias("bk")
+    )
+    a = banded.select(F.col("_id").alias("a"), "band", "bk")
+    b = banded.select(F.col("_id").alias("b"), "band", "bk")
+    cand = a.join(b, ["band", "bk"]).where(F.col("a") < F.col("b")).select("a", "b").distinct()
+    pa = v.select(F.col("_id").alias("a"), F.col("_v").alias("_va"))
+    pb = v.select(F.col("_id").alias("b"), F.col("_v").alias("_vb"))
+    return (
+        cand.join(pa, "a")
+        .join(pb, "b")
+        .withColumn("cosine", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        .where(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse quantizer cells + single-cell probe (nprobe=1).
+
+    The coarse centroids are the ``nlist`` lowest-id corpus vectors — a
+    deterministic, oracle-checkable stand-in for k-means centroids (the
+    assignment/probe machinery, which is what matters at scale, is
+    identical; swapping in trained centroids changes only the ``cents``
+    frame). Every vector is assigned to its max-cosine centroid (scores
+    rounded to 6 dp before the argmax so FP summation-order differences
+    can't flip assignments across engines; ties break by centroid id);
+    queries probe only their own cell, exact within it.
+
+    At 100 TB: centroids broadcast, corpus assignment is one map-side pass,
+    the probe join shuffles on the cell id — candidates per query are
+    bounded by the cell size (~n/nlist), not the corpus."""
+    cents = F.broadcast(
+        corpus.orderBy(id_col)
+        .limit(nlist)
+        .select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv"))
+    )
+
+    def assign(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        scored = (
+            df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec))
+            .crossJoin(cents)
+            .withColumn("_cs", F.round(cosine(F.col(out_vec), F.col("_cv")), 6))
+        )
+        w = Window.partitionBy(out_id).orderBy(F.desc("_cs"), F.asc("_cid"))
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(out_id, out_vec, F.col("_cid").alias("cell"))
+        )
+
+    c = assign(corpus, "neighbor_id", "_nv")
+    q = assign(queries, "query_id", "_qv")
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", F.round(cosine(F.col("_qv"), F.col("_nv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cell", "rank", "score")
     )
 
 

@@ -25,6 +25,17 @@ import sys
 import tempfile
 
 
+def _steal_jiffies() -> int:
+    """Cumulative hypervisor steal time (jiffies) from /proc/stat — external
+    host contention is the dominant noise source on this shared VM."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8]) if len(parts) > 8 else 0
+    except OSError:
+        return 0
+
+
 def main() -> None:
     cores = int(sys.argv[1])
     pages_path = sys.argv[2]
@@ -87,7 +98,11 @@ def main() -> None:
     wh = tempfile.mkdtemp(prefix=f"nimbus-scale-{cores}-", dir=base)
     shutil.rmtree(wh, ignore_errors=True)
     shutil.copytree(template, wh)
+    steal0 = _steal_jiffies()
     r = bench_mega_round(spark, pages_path, wh)
+    # hypervisor steal accumulated DURING the timed round — the evidence
+    # record for whether this sample ran in a quiet host window
+    r["steal_jiffies"] = _steal_jiffies() - steal0
     shutil.rmtree(wh, ignore_errors=True)
     out = {"round": r}
     if os.environ.get("NIMBUS_SCALE_PARSE", "1") != "0":

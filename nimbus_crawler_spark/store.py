@@ -60,7 +60,18 @@ class SnapshotStore:
         return self.warehouse / _COMMITS / f"c{round_idx + 1:08d}.json"
 
     def latest_commit(self) -> dict | None:
+        return self.commit_for(None)
+
+    def commit_for(self, round_idx: int | None) -> dict | None:
+        """Marker of the newest commit ≤ ``round_idx`` (time travel), or the
+        latest commit when ``round_idx`` is None — Iceberg snapshot-id reads.
+        Markers are immutable once renamed in, so any historical round's full
+        table state (snapshots, bucket maps, append lists) stays readable
+        until a later compaction's superseded segments are vacuumed."""
         commits = sorted((self.warehouse / _COMMITS).glob("c*.json"))
+        if round_idx is not None:
+            cap = f"c{round_idx + 1:08d}.json"
+            commits = [p for p in commits if p.name <= cap]
         if not commits:
             return None
         return json.loads(commits[-1].read_text())
@@ -71,16 +82,18 @@ class SnapshotStore:
 
     # ---- reads ----
 
-    def read(self, table: str) -> DataFrame:
-        """Current snapshot of a versioned table (empty DF before first commit).
+    def read(self, table: str, as_of_round: int | None = None) -> DataFrame:
+        """Snapshot of a versioned table (empty DF before first commit).
 
-        Table entries are either a plain segment path (full snapshot) or a
-        composite ``{"star": path, "buckets": {bucket: path}}`` from bucket-
-        partial merges: the star segment serves every bucket not explicitly
-        remapped; each merge segment serves the buckets mapped to it (an
-        ``IN`` filter the parquet scan prunes with row-group bucket stats).
+        ``as_of_round`` reads the table as of that round's commit (the newest
+        commit ≤ the given round) — Iceberg time travel. Table entries are
+        either a plain segment path (full snapshot) or a composite
+        ``{"star": path, "buckets": {bucket: path}}`` from bucket-partial
+        merges: the star segment serves every bucket not explicitly remapped;
+        each merge segment serves the buckets mapped to it (an ``IN`` filter
+        the parquet scan prunes with row-group bucket stats).
         """
-        c = self.latest_commit()
+        c = self.commit_for(as_of_round)
         if c is None or table not in c["tables"]:
             return self.spark.createDataFrame([], EMPTY_SCHEMAS[table])
         entry = c["tables"][table]
@@ -114,9 +127,10 @@ class SnapshotStore:
             out = out.unionByName(s)
         return out
 
-    def read_appends(self, table: str) -> DataFrame:
-        """Union of all committed append deltas for an append-only table."""
-        c = self.latest_commit()
+    def read_appends(self, table: str, as_of_round: int | None = None) -> DataFrame:
+        """Union of committed append deltas for an append-only table, up to
+        ``as_of_round`` when given (time travel)."""
+        c = self.commit_for(as_of_round)
         paths = [] if c is None else c.get("appends", {}).get(table, [])
         if not paths:
             return self.spark.createDataFrame([], EMPTY_SCHEMAS[table])

@@ -125,6 +125,34 @@ class TestSimilarity:
         assert 3 not in ids  # opposite sign bucket pruned
         assert 1 in ids
 
+    def test_embedding_cosine_pairs(self, spark, emb):
+        from nimbus_crawler_spark.operators.similarity import embedding_cosine_pairs
+
+        # bands over 2+2 components; every candidate pair shares ≥1 band key
+        # (all vectors share band 1: components 3-4 are 0 ⇒ sign +), then the
+        # exact cosine filter keeps only true near-dups
+        got = embedding_cosine_pairs(emb, threshold=0.6, bits=2, bands=2).collect()
+        pairs = {(r["a"], r["b"]): r["cosine"] for r in got}
+        assert set(pairs) == {(0, 1), (0, 4), (1, 4), (2, 4)}
+        assert pairs[(0, 1)] == round(0.9 / math.sqrt(0.82), 6)
+        assert all(a < b for a, b in pairs)
+        assert all(c >= 0.6 for c in pairs.values())
+
+    def test_ivf_assigns_cells_and_probes_own_cell(self, spark, emb):
+        from nimbus_crawler_spark.operators.similarity import cosine_topk_ivf
+
+        # centroids = vectors 0 and 1 (nlist=2). Assignments by max cosine:
+        # 0→cell 0; 1,2,3,4→cell 1. Query 4 probes cell 1 only, so vector 0
+        # (higher cosine to 4 than vector 3 has) is pruned — the IVF trade.
+        got = cosine_topk_ivf(emb, emb.where("vec_id = 4"), k=4, nlist=2).collect()
+        by_rank = sorted(got, key=lambda r: r["rank"])
+        assert all(r["cell"] == 1 for r in got)
+        assert [r["neighbor_id"] for r in by_rank] == [1, 2, 3]
+        assert 0 not in {r["neighbor_id"] for r in got}  # other-cell candidate pruned
+        scores = [r["score"] for r in by_rank]
+        assert scores == sorted(scores, reverse=True)
+        assert abs(scores[0] - round(0.7 / (math.sqrt(0.98) * math.sqrt(0.82)), 6)) < 1e-9
+
 
 class TestTextstats:
     def test_token_counts(self, spark, docs):

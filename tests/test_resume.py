@@ -172,6 +172,42 @@ def test_compaction_boundary_resume_with_torn_segment(spark, tmp_path):
         assert len(dirs) <= 6
 
 
+def test_time_travel_reads(spark, tmp_path):
+    """Iceberg-style time travel: read(table, as_of_round=r) reproduces the
+    exact post-commit state of round r (across bucket-partial merges), and
+    read_appends truncates to the deltas committed by then."""
+    from nimbus_crawler_spark.schemas import LINEAGE_SCHEMA
+
+    store = SnapshotStore(spark, str(tmp_path / "tt"))
+    base = [f"https://h/{i}" for i in range(60)]
+    store.commit(-1, snapshots={"url_state": _mk_state(spark, base)})
+    history = {-1: {u: "pending" for u in base}}
+    for r in range(3):
+        upd = [base[r], f"https://h/n{r}"]
+        lineage = spark.createDataFrame(
+            [(r, "fetch_ok", 0, 1, 1, 0)], LINEAGE_SCHEMA
+        )
+        store.commit(
+            r,
+            merges={"url_state": _mk_state(spark, upd, status="parsed")},
+            appends={"lineage": lineage},
+        )
+        history[r] = dict(history[r - 1])
+        for u in upd:
+            history[r][u] = "parsed"
+    for r in (-1, 0, 1, 2):
+        got = {
+            row["url"]: row["status"]
+            for row in store.read("url_state", as_of_round=r).collect()
+        }
+        assert got == history[r], f"time travel to round {r}"
+        n_appends = store.read_appends("lineage", as_of_round=r).count()
+        assert n_appends == r + 1
+    # latest == as_of latest; before-first-commit is empty
+    assert store.read("url_state").count() == store.read("url_state", as_of_round=2).count()
+    assert store.read("url_state", as_of_round=-2).count() == 0
+
+
 def test_merge_compaction_bounds_segments(spark, tmp_path):
     store = SnapshotStore(spark, str(tmp_path / "compact"), max_segments=3)
     base = [f"https://h/{i}" for i in range(50)]

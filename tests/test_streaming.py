@@ -43,3 +43,41 @@ def test_available_now_ingest_and_rerun_idempotence(spark, staged, tmp_path):
         spark, str(inp), out, stats, ckpt, window="10 seconds", watermark="5 seconds"
     )
     assert spark.read.parquet(out).count() == n1
+
+
+def test_stateful_politeness_admission(spark, staged, tmp_path):
+    """applyInPandasWithState: per-host cumulative budget holds ACROSS
+    micro-batches (one file per trigger), admit_seq dense per host."""
+    import os
+
+    from nimbus_crawler_spark.streaming.stateful import admit_available_now
+
+    corpus, inp = staged
+    # deterministic micro-batch order: strictly increasing mtimes per file
+    for i, f in enumerate(sorted(os.listdir(inp))):
+        os.utime(inp / f, (1_700_000_000 + i, 1_700_000_000 + i))
+    out, ckpt = str(tmp_path / "admitted"), str(tmp_path / "ckpt2")
+    budget = 3
+    admit_available_now(spark, str(inp), out, ckpt, budget_per_host=budget)
+
+    got = spark.read.parquet(out).collect()
+    from collections import defaultdict
+
+    per_host = defaultdict(list)
+    for r in got:
+        per_host[r["host"]].append(r["admit_seq"])
+    # every host in the corpus with ≥budget pages admits exactly budget rows
+    from nimbus_crawler_spark.functions.urlnorm import hostname
+
+    totals = defaultdict(int)
+    for p in corpus.pages:
+        h = hostname(p["url"])
+        if h:
+            totals[h] += 1
+    assert set(per_host) == {h for h, n in totals.items() if n > 0}
+    for h, seqs in per_host.items():
+        assert sorted(seqs) == list(range(min(budget, totals[h]))), h
+    # with 10-row files and 3 hosts × 5-6 pages, hosts span multiple files —
+    # the budget can only hold if state carried across micro-batches
+    n_files = len([f for f in os.listdir(inp) if f.endswith(".parquet")])
+    assert n_files > 1
