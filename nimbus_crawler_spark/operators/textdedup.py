@@ -366,18 +366,27 @@ def ngram_jaccard_pairs(
     ``obs.get["candidate_pairs"]`` after the result is materialized."""
     sets = shingle_sets(docs, shingle_n, id_col, text_col)
     sh = sets.select(F.col("_id").alias(id_col), F.explode("_sh").alias("shingle"))
-    rare = (
+    # ONE aggregation produces both the doc-frequency gate and the doc list;
+    # the (a<b) pair combinations are emitted JVM-side from the ≤max_doc_freq
+    # array with nested `transform` — no rare-shingle self-join shuffle (the
+    # former x⋈y on shingle shuffled the exploded shingle table twice).
+    holders = (
         sh.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .where((F.col("df") >= 2) & (F.col("df") <= max_doc_freq))
-        .select("shingle")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("_ids"))
+        .where((F.size("_ids") >= 2) & (F.size("_ids") <= max_doc_freq))
     )
-    sh_rare = sh.join(rare, "shingle")
+    pair_structs = F.flatten(
+        F.transform(
+            "_ids",
+            lambda x, i: F.transform(
+                F.slice("_ids", i + 2, F.size("_ids")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     cands = (
-        sh_rare.alias("x")
-        .join(sh_rare.alias("y"), "shingle")
-        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
-        .select(F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b"))
+        holders.select(F.explode(pair_structs).alias("_p"))
+        .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
         .distinct()
     )
     if observation is not None:
