@@ -157,9 +157,8 @@ def main() -> None:
     spark.stop()
 
     if SCALING:
-        # the sandbox host has bursty external contention: interleave
-        # low/high runs and keep the best per level (standard noisy-host
-        # benchmarking); reps configurable via NIMBUS_BENCH_REPS. Each run
+        # the sandbox host has bursty external contention: fixed rep
+        # schedule, per-level median over environment-valid samples. Each run
         # is an isolated CPU-pinned subprocess (plans/scalerun.py).
         import subprocess
 
@@ -171,34 +170,47 @@ def main() -> None:
         # stopping — an adaptive stop-on-pass rule is optional-stopping bias:
         # noise can only help it), with a QUIET-HOST GATE before each rep.
         #
-        # The dominant noise on this shared VM is hypervisor steal: external
-        # bursts last minutes and hit the two levels ASYMMETRICALLY — the
-        # 2-core level (2 of 32 cores) is nearly immune (±7% across every
-        # recorded sample) while the 8-core level swings ±50%. The gate is a
-        # pre-registered ENVIRONMENTAL check (steal rate from /proc/stat,
-        # measured before the rep, independent of the rep's outcome): wait in
-        # 20 s steps, bounded, until the host is quiet, then run. Each
-        # sample also records the steal accumulated DURING its timed round,
-        # so every recorded number carries its own cleanliness evidence.
-        # Rep allocation is noise-weighted: the sensitive high level gets 3
-        # reps, the insensitive low level 2 (low-side suppression could only
-        # BIAS EFFICIENCY UP, so low reps are gated-quiet and medianed too).
+        # The VM's external contention has TWO faces, both hitting the
+        # levels ASYMMETRICALLY (the 2-core level uses 2 of 32 host cores
+        # and is nearly immune; the 8-core level swings ±50%):
+        #   (1) hypervisor CPU steal — visible in /proc/stat; bursts last
+        #       minutes. Throughput tracks during-run steal even at low
+        #       rates (measured 0.4/s → 1920, 2.1/s → 1864, 4.4/s → 1600
+        #       URLs/s on identical input).
+        #   (2) memory-bandwidth contention from co-tenants — INVISIBLE to
+        #       steal (measured: an 8-core round at 2.0 jiffies/s steal ran
+        #       2.3× slower than quiet-window pairs while a single-core
+        #       256 MB memcpy probe collapsed from 4.3 GB/s to 0.26 GB/s).
+        # Both defenses are pre-registered ENVIRONMENTAL checks, never the
+        # measured throughput: the gate before each rep requires steal-rate
+        # < quiet_thresh AND probe bandwidth ≥ bw_thresh (wait in 20 s
+        # steps, bounded by the phase deadline); a sample is VALID iff its
+        # during-run steal ≤ valid_steal AND the bandwidth probes
+        # bracketing it (pre + post) both clear bw_thresh. Invalid samples
+        # re-run from bounded per-level retry budgets; the per-level
+        # estimator is the median over valid samples (fallback: all,
+        # recorded as such). Rep allocation is noise-weighted: high ×4,
+        # low ×2 (low-side suppression could only BIAS EFFICIENCY UP, so
+        # the insensitive level needs fewer reps). A hard phase deadline
+        # bounds total wall regardless of host behavior.
         import statistics
 
         reps_low = int(os.environ.get("NIMBUS_BENCH_REPS_LOW", "2"))
-        reps_high = int(os.environ.get("NIMBUS_BENCH_REPS_HIGH", "3"))
-        quiet_budget_s = float(os.environ.get("NIMBUS_BENCH_QUIET_BUDGET", "480"))
+        reps_high = int(os.environ.get("NIMBUS_BENCH_REPS_HIGH", "4"))
         # quiet threshold: steal-rate in jiffies/s (1 jiffy = 10 ms CPU);
         # quiet windows measure <1, bursts tens-to-hundreds
         quiet_thresh = float(os.environ.get("NIMBUS_BENCH_QUIET_STEAL", "10"))
-        # sample validity (pre-registered, outcome-independent): throughput
-        # tracks during-run steal even at low rates (measured 0.4/s → 1920,
-        # 2.1/s → 1864, 4.4/s → 1600 URLs/s on identical input), so a sample
-        # whose own timed window accumulated steal above this rate is
-        # CONTAMINATED and re-run (bounded retry budget); the criterion is
-        # the host's steal counter, never the measured throughput
         valid_steal = float(os.environ.get("NIMBUS_BENCH_VALID_STEAL", "1.5"))
-        retry_budget = [int(os.environ.get("NIMBUS_BENCH_RETRIES", "3"))]
+        # single-core memcpy probe: quiet host measures 4.3-5.7 GB/s,
+        # contended 0.01-3.2 GB/s
+        bw_thresh = float(os.environ.get("NIMBUS_BENCH_QUIET_BW", "3.0"))
+        deadline = time.perf_counter() + float(
+            os.environ.get("NIMBUS_BENCH_SCALE_WALL_CAP", "2850")
+        )
+        retries = {
+            SCALE_LOW: int(os.environ.get("NIMBUS_BENCH_RETRIES_LOW", "2")),
+            SCALE_HIGH: int(os.environ.get("NIMBUS_BENCH_RETRIES_HIGH", "3")),
+        }
         runs: dict = {SCALE_LOW: [], SCALE_HIGH: []}
         ps: dict = {}
         samples: list = []
@@ -218,27 +230,41 @@ def main() -> None:
             time.sleep(window_s)
             return (steal_jiffies() - s0) / window_s
 
-        quiet_spent = [0.0]
+        import numpy as _np
 
-        def quiet_gate() -> float:
-            rate = steal_rate()
-            while rate > quiet_thresh and quiet_spent[0] < quiet_budget_s:
+        _bw_src = _np.ones(64 * 1024 * 1024, dtype=_np.uint8)
+        _bw_dst = _bw_src.copy()
+
+        def bw_gbps() -> float:
+            """Single-core memcpy rate on warm buffers (2×64 MB copies)."""
+            t0 = time.perf_counter()
+            _np.copyto(_bw_dst, _bw_src)
+            _np.copyto(_bw_dst, _bw_src)
+            return 0.125 / max(time.perf_counter() - t0, 1e-9)
+
+        def env_probe() -> tuple[float, float]:
+            return steal_rate(), bw_gbps()
+
+        def quiet_gate() -> tuple[float, float]:
+            rate, bw = env_probe()
+            while (rate > quiet_thresh or bw < bw_thresh) and (
+                time.perf_counter() < deadline
+            ):
                 time.sleep(20)
-                quiet_spent[0] += 23
-                rate = steal_rate()
-            gate_log.append(round(rate, 1))
-            return rate
+                rate, bw = env_probe()
+            gate_log.append([round(rate, 1), round(bw, 2)])
+            return rate, bw
 
-        def one_run(m: int, rep: int, with_parse: bool) -> bool:
+        def one_run(m: int, rep: int) -> bool:
             """Run one pinned measurement; returns sample validity."""
-            pre_rate = quiet_gate()
-            renv = {**env, "NIMBUS_SCALE_PARSE": "1" if with_parse else "0"}
+            pre_rate, pre_bw = quiet_gate()
             proc = subprocess.run(
                 [sys.executable, "-m", "nimbus_crawler_spark.plans.scalerun",
                  str(m), scale_pages],
-                capture_output=True, text=True, env=renv,
+                capture_output=True, text=True, env=env,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
+            post_rate, post_bw = env_probe()
             line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
             if not line.startswith("{"):
                 print(f"scalerun {m} failed: {proc.stderr[-500:]}", file=sys.stderr)
@@ -246,7 +272,11 @@ def main() -> None:
             res = json.loads(line)
             r, p = res["round"], res.get("parse")
             rate_during = (r.get("steal_jiffies") or 0) / max(r["wall_sec"], 1.0)
-            valid = rate_during <= valid_steal
+            valid = (
+                rate_during <= valid_steal
+                and pre_bw >= bw_thresh
+                and post_bw >= bw_thresh
+            )
             r["_valid"] = valid
             samples.append(
                 {
@@ -255,6 +285,9 @@ def main() -> None:
                     "urls_per_sec": r["urls_per_sec"],
                     "steal_rate_during": round(rate_during, 2),
                     "steal_rate_before": round(pre_rate, 2),
+                    "bw_before": round(pre_bw, 2),
+                    "bw_after": round(post_bw, 2),
+                    "steal_rate_after": round(post_rate, 2),
                     "valid": valid,
                 }
             )
@@ -264,7 +297,7 @@ def main() -> None:
             return valid
 
         def median_run(rs: list) -> dict:
-            # median over steal-clean samples; if contamination never
+            # median over environment-valid samples; if contamination never
             # cleared, fall back to all samples (recorded as such)
             pool = [r for r in rs if r.get("_valid")] or rs
             med = statistics.median(r["urls_per_sec"] for r in pool)
@@ -275,19 +308,22 @@ def main() -> None:
                 "median_over_valid": len(pool),
             }
 
-        # interleave: L,H,L,H,(H…) — levels share contention windows as far
-        # as the asymmetric rep counts allow
+        # spread the long low-level runs apart so consecutive reps don't
+        # share one contention burst: L,H,H,L,H,H
         schedule = []
         for i in range(max(reps_low, reps_high)):
             if i < reps_low:
                 schedule.append((SCALE_LOW, i))
-            if i < reps_high:
-                schedule.append((SCALE_HIGH, i))
+            for j in (2 * i, 2 * i + 1):
+                if j < reps_high:
+                    schedule.append((SCALE_HIGH, j))
         for m, rep in schedule:
-            ok = one_run(m, rep, with_parse=(rep == 0))
-            while not ok and retry_budget[0] > 0:
-                retry_budget[0] -= 1
-                ok = one_run(m, rep, with_parse=False)
+            if runs[m] and time.perf_counter() > deadline:
+                continue  # deadline passed; keep ≥1 sample per level
+            ok = one_run(m, rep)
+            while not ok and retries[m] > 0 and time.perf_counter() < deadline:
+                retries[m] -= 1
+                ok = one_run(m, rep)
         if runs[SCALE_LOW] and runs[SCALE_HIGH]:
             lo, hi = median_run(runs[SCALE_LOW]), median_run(runs[SCALE_HIGH])
             factor = SCALE_HIGH / SCALE_LOW
@@ -299,11 +335,13 @@ def main() -> None:
                 "efficiency": round(eff, 3),
                 "isolation": "cpu-pinned subprocess, 4GiB/core",
                 "estimator": (
-                    f"median per level over steal-clean reps "
-                    f"(low×{reps_low}, high×{reps_high}; pre-gate steal < "
-                    f"{quiet_thresh}/s; sample valid iff during-run steal ≤ "
-                    f"{valid_steal}/s, contaminated samples re-run, "
-                    f"{retry_budget[0]} retries unused)"
+                    f"median per level over environment-valid reps "
+                    f"(low×{reps_low}, high×{reps_high}; gate: steal < "
+                    f"{quiet_thresh}/s AND probe bw ≥ {bw_thresh} GB/s; "
+                    f"sample valid iff during-run steal ≤ {valid_steal}/s "
+                    f"AND pre/post bw probes ≥ {bw_thresh} GB/s; invalid "
+                    f"samples re-run, retries unused: low {retries[SCALE_LOW]} "
+                    f"high {retries[SCALE_HIGH]})"
                 ),
                 "quiet_gate_rates": gate_log,
                 "samples": samples,
