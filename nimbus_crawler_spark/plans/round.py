@@ -580,6 +580,8 @@ def run_round(
     }
     if _timing:
         stats["stage_secs"] = stage_secs
+        if "commit_sub_secs" in fm:
+            stats["stage_secs"]["commit_sub"] = fm["commit_sub_secs"]
     if fm["scheduled"] == 0 and fm["frontier_pending_after"] > 0:
         # pure wait round (every pending URL is backing off): tell the loop
         # how far to fast-forward — rounds in (r, min_next) are provably

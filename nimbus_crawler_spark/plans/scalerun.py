@@ -40,7 +40,16 @@ def main() -> None:
     cores = int(sys.argv[1])
     pages_path = sys.argv[2]
     cpus = sorted(os.sched_getaffinity(0))
-    os.sched_setaffinity(0, set(cpus[:cores]))
+    # +1 pinned core for the driver at BOTH levels (default on): a real
+    # N-core executor fleet runs its driver on a separate node; local[N]
+    # conflates them, so without the extra core the constant driver work
+    # (plan construction, py4j, commit marker) eats executor capacity —
+    # proportionally ~4x harder at the low level's 4x-longer walls... and
+    # the high level's shorter walls, i.e. it distorts BOTH; granting
+    # exactly one extra core per level removes the local-mode artifact
+    # without changing executor parallelism (task slots stay local[N]).
+    driver_core = int(os.environ.get("NIMBUS_SCALE_DRIVER_CORE", "1"))
+    os.sched_setaffinity(0, set(cpus[: cores + driver_core]))
     gb_per_core = int(os.environ.get("SPARK_GRAFT_SCALE_GB_PER_CORE", "4"))
     os.environ["SPARK_GRAFT_DRIVER_MEM"] = f"{gb_per_core * cores}g"
 

@@ -173,6 +173,16 @@ class SnapshotStore:
         this is how the engine derives its per-round counters without
         dedicated count() jobs.
         """
+        _timing = os.environ.get("NIMBUS_ROUND_TIMING", "0") == "1"
+        _sub: dict[str, float] = {}
+        _t0 = [time.perf_counter()]
+
+        def _sub_tick(label: str) -> None:
+            if _timing:
+                now = time.perf_counter()
+                _sub[label] = round(now - _t0[0], 2)
+                _t0[0] = now
+
         overlap = set(snapshots or {}) & set(merges or {})
         if overlap:
             # a snapshot and a merge of the same table in one commit would
@@ -186,6 +196,9 @@ class SnapshotStore:
         # Independent tables write as concurrent Spark jobs (the scheduler
         # interleaves their stages); atomicity still comes solely from the
         # marker rename below, so a failure mid-write leaves no visible state.
+        # Snapshot + append writes START before the merge phase: they don't
+        # depend on the merge delta, so they overlap the serial delta write
+        # on the pool instead of waiting behind it.
         from concurrent.futures import ThreadPoolExecutor
 
         jobs: list[tuple[str, str, object]] = []
@@ -193,7 +206,19 @@ class SnapshotStore:
             rel = f"{name}/v{round_idx + 1:08d}"
             tables[name] = rel
             jobs.append((name, rel, df))
+        for name, df in (appends or {}).items():
+            rel = f"{name}/r{round_idx + 1:08d}"
+            all_appends.setdefault(name, []).append(rel)
+            jobs.append((name, rel, df))
 
+        def write(job):
+            _name, rel, df = job
+            df.write.mode("overwrite").parquet(str(self.warehouse / rel))
+
+        pool = ThreadPoolExecutor(max_workers=6)
+        futures = [pool.submit(write, j) for j in jobs]
+
+        merge_jobs: list[tuple[str, str, object]] = []
         merge_info: dict[str, dict] = {}
         merge_tmp: list[str] = []
         collected_metrics: dict[str, dict] = {}
@@ -247,7 +272,7 @@ class SnapshotStore:
                     .select(*cols)
                 )
                 tables[name] = rel
-                jobs.append((name, rel, full))
+                merge_jobs.append((name, rel, full))
             else:
                 rel = f"{name}/m{round_idx + 1:08d}"
                 seg = (
@@ -263,24 +288,18 @@ class SnapshotStore:
                 for b in touched:
                     new_buckets[str(b)] = rel
                 tables[name] = {"star": entry["star"], "buckets": new_buckets}
-                jobs.append((name, rel, seg))
+                merge_jobs.append((name, rel, seg))
             merge_info[name] = {"touched_buckets": len(touched), "compacted": compact}
+        _sub_tick("delta")
 
-        for name, df in (appends or {}).items():
-            rel = f"{name}/r{round_idx + 1:08d}"
-            all_appends.setdefault(name, []).append(rel)
-            jobs.append((name, rel, df))
-
-        def write(job):
-            _name, rel, df = job
-            df.write.mode("overwrite").parquet(str(self.warehouse / rel))
-
-        if len(jobs) > 1:
-            with ThreadPoolExecutor(max_workers=min(len(jobs), 6)) as ex:
-                list(ex.map(write, jobs))
-        else:
-            for j in jobs:
-                write(j)
+        futures += [pool.submit(write, j) for j in merge_jobs]
+        try:
+            for f in futures:
+                f.result()
+        finally:
+            pool.shutdown(wait=False)
+        jobs += merge_jobs
+        _sub_tick("writes")
 
         write_stats = {
             name: {"bytes": self._dir_bytes(rel), **merge_info.get(name, {})}
@@ -303,6 +322,9 @@ class SnapshotStore:
         os.rename(tmp, self._commit_path(round_idx))  # atomic publish
         for urel in merge_tmp:  # delta dirs are folded into segments — drop
             shutil.rmtree(self.warehouse / urel, ignore_errors=True)
+        _sub_tick("stats_marker")
+        if _timing:
+            marker["meta"]["commit_sub_secs"] = _sub
         return marker
 
     def destroy(self) -> None:
