@@ -196,16 +196,19 @@ def main() -> None:
         import statistics
 
         reps_low = int(os.environ.get("NIMBUS_BENCH_REPS_LOW", "2"))
-        reps_high = int(os.environ.get("NIMBUS_BENCH_REPS_HIGH", "4"))
+        reps_high = int(os.environ.get("NIMBUS_BENCH_REPS_HIGH", "3"))
         # quiet threshold: steal-rate in jiffies/s (1 jiffy = 10 ms CPU);
         # quiet windows measure <1, bursts tens-to-hundreds
         quiet_thresh = float(os.environ.get("NIMBUS_BENCH_QUIET_STEAL", "10"))
-        valid_steal = float(os.environ.get("NIMBUS_BENCH_VALID_STEAL", "1.5"))
+        # during-run steal ≤ 3 jiffies/s ≈ ≤3% throughput effect (measured
+        # 2.1/s → −3% on identical input); stricter thresholds discard
+        # near-clean samples and burn the retry budget on this bursty host
+        valid_steal = float(os.environ.get("NIMBUS_BENCH_VALID_STEAL", "3.0"))
         # single-core memcpy probe: quiet host measures 4.3-5.7 GB/s,
         # contended 0.01-3.2 GB/s
         bw_thresh = float(os.environ.get("NIMBUS_BENCH_QUIET_BW", "3.0"))
         deadline = time.perf_counter() + float(
-            os.environ.get("NIMBUS_BENCH_SCALE_WALL_CAP", "2850")
+            os.environ.get("NIMBUS_BENCH_SCALE_WALL_CAP", "3400")
         )
         retries = {
             SCALE_LOW: int(os.environ.get("NIMBUS_BENCH_RETRIES_LOW", "2")),
@@ -255,13 +258,20 @@ def main() -> None:
             gate_log.append([round(rate, 1), round(bw, 2)])
             return rate, bw
 
+        parse_probes = {SCALE_LOW: 0, SCALE_HIGH: 0}
+
         def one_run(m: int, rep: int) -> bool:
             """Run one pinned measurement; returns sample validity."""
             pre_rate, pre_bw = quiet_gate()
+            # the parse-stage probe costs ~45 s per low-level run: probe the
+            # first two runs per level (max kept), then stop paying for it
+            with_parse = parse_probes[m] < 2
+            parse_probes[m] += 1 if with_parse else 0
+            renv = {**env, "NIMBUS_SCALE_PARSE": "1" if with_parse else "0"}
             proc = subprocess.run(
                 [sys.executable, "-m", "nimbus_crawler_spark.plans.scalerun",
                  str(m), scale_pages],
-                capture_output=True, text=True, env=env,
+                capture_output=True, text=True, env=renv,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
             post_rate, post_bw = env_probe()
