@@ -366,14 +366,26 @@ def ngram_jaccard_pairs(
     ``obs.get["candidate_pairs"]`` after the result is materialized."""
     sets = shingle_sets(docs, shingle_n, id_col, text_col)
     sh = sets.select(F.col("_id").alias(id_col), F.explode("_sh").alias("shingle"))
-    # ONE aggregation produces both the doc-frequency gate and the doc list;
-    # the (a<b) pair combinations are emitted JVM-side from the ≤max_doc_freq
-    # array with nested `transform` — no rare-shingle self-join shuffle (the
-    # former x⋈y on shingle shuffled the exploded shingle table twice).
-    holders = (
+    # Two-phase doc-frequency gate. Phase 1 is a plain count (partial-agg
+    # friendly: map-side combine, constant memory per key) — crucially it runs
+    # BEFORE any collect_set, so a stop-word shingle that appears in ~every
+    # document of a web corpus never materializes an O(n) doc array in an
+    # aggregation buffer. Phase 2 collects doc lists only for shingles that
+    # survived the DF ≤ max_doc_freq filter (each list is ≤ max_doc_freq
+    # elements by construction); the semi-join output is hash-partitioned on
+    # `shingle`, so the following groupBy reuses that exchange. The (a<b)
+    # pair combinations are then emitted JVM-side from the bounded array with
+    # nested `transform` — no rare-shingle self-join shuffle.
+    rare = (
         sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where((F.col("_df") >= 2) & (F.col("_df") <= max_doc_freq))
+        .select("shingle")
+    )
+    holders = (
+        sh.join(rare, "shingle", "left_semi")
+        .groupBy("shingle")
         .agg(F.sort_array(F.collect_set(id_col)).alias("_ids"))
-        .where((F.size("_ids") >= 2) & (F.size("_ids") <= max_doc_freq))
     )
     pair_structs = F.flatten(
         F.transform(

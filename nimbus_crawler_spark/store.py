@@ -215,8 +215,66 @@ class SnapshotStore:
             _name, rel, df = job
             df.write.mode("overwrite").parquet(str(self.warehouse / rel))
 
+        # the pool lives inside one try/finally: if the merge phase below (or
+        # a failed future) raises, every in-flight background write is
+        # cancelled-or-awaited before commit() propagates — no straggler
+        # thread keeps writing into paths a re-run of the same round_idx
+        # would overwrite concurrently
         pool = ThreadPoolExecutor(max_workers=6)
-        futures = [pool.submit(write, j) for j in jobs]
+        futures = []
+        try:
+            futures += [pool.submit(write, j) for j in jobs]
+            merge_jobs, merge_info, merge_tmp, collected_metrics = self._plan_merges(
+                round_idx, merges, merge_metrics, tables
+            )
+            _sub_tick("delta")
+            futures += [pool.submit(write, j) for j in merge_jobs]
+            for f in futures:
+                f.result()
+        finally:
+            # success: all futures done, shutdown is instant. Failure: cancel
+            # queued writes and WAIT for running ones so nothing is in flight
+            # when the exception (or the marker publish) leaves this frame.
+            pool.shutdown(wait=True, cancel_futures=True)
+        jobs += merge_jobs
+        _sub_tick("writes")
+        write_stats = {
+            name: {"bytes": self._dir_bytes(rel), **merge_info.get(name, {})}
+            for name, rel, _df in jobs
+        }
+        final_meta = {**(meta or {}), "write_stats": write_stats}
+        if collected_metrics:
+            final_meta["merge_metrics"] = collected_metrics
+        if meta_fn is not None:
+            final_meta.update(meta_fn(collected_metrics))
+        # final tick BEFORE the marker is serialized, so the on-disk commit
+        # and the returned marker carry identical timing (the marker-file
+        # write itself — a ~1 KB JSON — is the only untimed step)
+        _sub_tick("stats")
+        if _timing:
+            final_meta["commit_sub_secs"] = _sub
+        marker = {
+            "round": round_idx,
+            "tables": tables,
+            "appends": all_appends,
+            "meta": final_meta,
+            "committed_at": time.time(),
+        }
+        tmp = self.warehouse / _COMMITS / f".tmp-{round_idx + 1:08d}.json"
+        tmp.write_text(json.dumps(marker, indent=1))
+        os.rename(tmp, self._commit_path(round_idx))  # atomic publish
+        for urel in merge_tmp:  # delta dirs are folded into segments — drop
+            shutil.rmtree(self.warehouse / urel, ignore_errors=True)
+        return marker
+
+    def _plan_merges(self, round_idx, merges, merge_metrics, tables):
+        """Materialize each merge delta and plan its segment write.
+
+        Mutates ``tables`` in place; returns (merge_jobs, merge_info,
+        merge_tmp, collected_metrics). The delta writes here run inline (they
+        gate the Observation that decides the touched buckets); only the
+        resulting segment writes are handed back to the caller's pool."""
+        from pyspark.sql import Observation
 
         merge_jobs: list[tuple[str, str, object]] = []
         merge_info: dict[str, dict] = {}
@@ -229,8 +287,6 @@ class SnapshotStore:
             # round's update plan — evaluating it twice would re-run UDFs);
             # touched buckets + caller metrics ride along as an Observation
             # on the same job
-            from pyspark.sql import Observation
-
             obs = Observation()
             extra = (merge_metrics or {}).get(name, {})
             obs_cols = [F.collect_set("bucket").alias("__bs")] + [
@@ -290,42 +346,7 @@ class SnapshotStore:
                 tables[name] = {"star": entry["star"], "buckets": new_buckets}
                 merge_jobs.append((name, rel, seg))
             merge_info[name] = {"touched_buckets": len(touched), "compacted": compact}
-        _sub_tick("delta")
-
-        futures += [pool.submit(write, j) for j in merge_jobs]
-        try:
-            for f in futures:
-                f.result()
-        finally:
-            pool.shutdown(wait=False)
-        jobs += merge_jobs
-        _sub_tick("writes")
-
-        write_stats = {
-            name: {"bytes": self._dir_bytes(rel), **merge_info.get(name, {})}
-            for name, rel, _df in jobs
-        }
-        final_meta = {**(meta or {}), "write_stats": write_stats}
-        if collected_metrics:
-            final_meta["merge_metrics"] = collected_metrics
-        if meta_fn is not None:
-            final_meta.update(meta_fn(collected_metrics))
-        marker = {
-            "round": round_idx,
-            "tables": tables,
-            "appends": all_appends,
-            "meta": final_meta,
-            "committed_at": time.time(),
-        }
-        tmp = self.warehouse / _COMMITS / f".tmp-{round_idx + 1:08d}.json"
-        tmp.write_text(json.dumps(marker, indent=1))
-        os.rename(tmp, self._commit_path(round_idx))  # atomic publish
-        for urel in merge_tmp:  # delta dirs are folded into segments — drop
-            shutil.rmtree(self.warehouse / urel, ignore_errors=True)
-        _sub_tick("stats_marker")
-        if _timing:
-            marker["meta"]["commit_sub_secs"] = _sub
-        return marker
+        return merge_jobs, merge_info, merge_tmp, collected_metrics
 
     def destroy(self) -> None:
         shutil.rmtree(self.warehouse, ignore_errors=True)
