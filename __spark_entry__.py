@@ -476,6 +476,38 @@ def _q_multimodal_raw_stats(spark, sf_dir):
     )
 
 
+_MM_EXPECTED_PATH = "/tmp/nimbus-mm-expected-v1.parquet"
+
+
+def _q_multimodal_decode(spark, sf_dir):
+    """FULL decode path (real BMP + PCM WAV + raw containers) against a
+    fixture of independently-computed expected features: header parse,
+    stride padding, BGR luminance, and the int16→uint8 sample transform are
+    decoded by the distributed mapInPandas operator, while the oracle reads
+    expectations recomputed from the generative arrays with plain-Python
+    math (sources/media_fixture.py) — upgrading the multimodal decode family
+    from rows-only to a three-check gate."""
+    from nimbus_crawler_spark.operators.multimodal import MEDIA_SCHEMA, extract_features
+    from nimbus_crawler_spark.sources.media_fixture import fixture_media_rows
+
+    _ensure(spark)
+    media = spark.createDataFrame(fixture_media_rows(), MEDIA_SCHEMA)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "format",
+        "n_bytes",
+        "byte_entropy",
+        F.concat_ws(",", F.transform("histogram", lambda x: x.cast("string"))).alias("hist_csv"),
+        "frames_sampled",
+        "width",
+        "height",
+        "sample_rate",
+        "duration_s",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # crawl-operator analogs (SURVEY §2)
@@ -515,9 +547,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         # multimodal
         "multimodal_raw_stats": _q_multimodal_raw_stats,
-        # rows-only
-        "crawl_smoke": _q_crawl_smoke,
         "multimodal_features": _q_multimodal_features,
+        "multimodal_decode": _q_multimodal_decode,
+        # rows-only (a multi-round loop, not one SQL statement)
+        "crawl_smoke": _q_crawl_smoke,
     }
 
 
@@ -611,6 +644,13 @@ WHERE {cos} >= {thr}
 
 
 def oracle_sql() -> dict[str, str]:
+    # the multimodal_decode oracle reads a fixture parquet of expected
+    # features — written (idempotently) here so it exists before the driver
+    # executes the SQL; content is a pure function of the id range, never of
+    # the scale factor
+    from nimbus_crawler_spark.sources.media_fixture import write_expected_parquet
+
+    write_expected_parquet(_MM_EXPECTED_PATH)
     return {
         "frontier_priority_topk": """
 SELECT o_orderkey, o_orderpriority FROM orders
@@ -931,5 +971,41 @@ SELECT m.media_id, m.kind, 'raw' AS format,
        CAST(CASE WHEN m.kind = 'image' THEN 1
                  ELSE greatest(1, length(m.text) // 256) END AS INTEGER) AS frames_sampled
 FROM m JOIN ent USING (media_id) JOIN hist USING (media_id)
+""",
+        # auto-codec feature extraction over the documents-derived media
+        # table: ASCII text bytes can never satisfy the BMP/WAV header
+        # checks (any "BM"-prefixed text yields an ASCII-valued data_off
+        # ≥ 0x20202020 > payload length), so auto ≡ raw on this input and
+        # the raw byte-statistics SQL is the exact oracle
+        "multimodal_features": """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         text
+  FROM documents),
+chars AS (
+  SELECT media_id, ascii(ch) // 16 AS bin
+  FROM m, unnest(split(text, '')) AS u(ch)),
+binned AS (
+  SELECT media_id, bin, count(*) AS n FROM chars GROUP BY media_id, bin),
+tot AS (SELECT media_id, sum(n) AS nb FROM binned GROUP BY media_id),
+ent AS (
+  SELECT b.media_id,
+         floor(sum(-(CAST(n AS DOUBLE) / nb) * log2(CAST(n AS DOUBLE) / nb)) * 1000000 + 0.5) / 1000000 AS byte_entropy
+  FROM binned b JOIN tot USING (media_id) GROUP BY b.media_id)
+SELECT m.media_id, m.kind,
+       CAST(length(m.text) AS BIGINT) AS n_bytes,
+       ent.byte_entropy,
+       CAST(CASE WHEN m.kind = 'image' THEN 1
+                 ELSE greatest(1, length(m.text) // 256) END AS INTEGER) AS frames_sampled
+FROM m JOIN ent USING (media_id)
+""",
+        # full BMP/WAV/raw decode path vs the independently-computed
+        # expected-feature fixture (sources/media_fixture.py); the fixture
+        # parquet is written by oracle_sql() above before this SQL runs
+        "multimodal_decode": f"""
+SELECT media_id, kind, format, n_bytes, byte_entropy, hist_csv,
+       frames_sampled, width, height, sample_rate, duration_s
+FROM read_parquet('{_MM_EXPECTED_PATH}')
 """,
     }

@@ -2,11 +2,22 @@
 """Bench harness (driver contract): runs headline queries at
 $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS], the crawl-engine loop and a
 mega fetch round on the deterministic synthetic corpus, and (unless
-SPARK_GRAFT_SCALING=0) the N→4N scaling probe at local[8] vs local[CPUS].
+SPARK_GRAFT_SCALING=0) the N→4N scaling probe at local[2] vs local[8].
 
 Prints ONE JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...},
    "sf": ..., "crawl": {...}, "mega_round": {...}, "scaling": {...}}
+
+Budget discipline (the round-3 lesson): EVERY phase deadline derives from ONE
+total wall budget (NIMBUS_BENCH_TOTAL_WALL, default 1450 s — the last
+completed-and-recorded driver run took 1497 s, so the driver's cap is known
+to be at least ~1500; staying under it by construction). The harness is also
+crash-proof: the output dict is filled INCREMENTALLY and printed by a
+SIGTERM/SIGINT/SIGALRM handler (plus a normal-path finalize), so a wall-cap
+kill still records every completed query, the crawl loop, the mega round,
+and any completed scaling samples instead of destroying the run. A SIGALRM
+is armed slightly before the budget expires so the harness terminates
+itself — with output — even if the external cap is tighter than expected.
 """
 
 from __future__ import annotations
@@ -14,6 +25,9 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import signal
+import statistics
+import subprocess
 import sys
 import tempfile
 import time
@@ -42,6 +56,7 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "multimodal_features",
     "multimodal_raw_stats",
+    "multimodal_decode",
     "quality",
     "lang_id",
     "token_counts",
@@ -69,18 +84,66 @@ MEGA_DOM = int(os.environ.get("NIMBUS_BENCH_MEGA_DOM", "40"))
 # 4 GiB/core heap (plans/scalerun.py) — the honest stand-in for N executors.
 SCALE_LOW = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "2"))
 SCALE_HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", str(min(4 * SCALE_LOW, CPUS))))
-# scaling corpus at production-weight DOM — synthetic d200 pages (~20-30 KB
-# HTML) are still LIGHTER than median real-web HTML, and the scaling
-# criterion is about core utilization on representative compute, not on a
-# toy page that finishes before the scheduler matters. Sizing rationale
-# (instrumented via NIMBUS_ROUND_TIMING): at d200/8000 hosts the Arrow-
-# batched parse — which scales at 0.96 — is ~87% of the round wall, so the
-# bandwidth-bound commit/select stages and the ~14 s fixed driver cost
-# (constant across corpus sizes; at production round sizes amortized to
-# nothing) stop dominating the ratio. Measured quiet-window efficiency at
-# this shape: ~0.94 (8-core wall ~114 s, 2-core ~460 s).
-SCALE_HOSTS = int(os.environ.get("NIMBUS_BENCH_SCALE_HOSTS", "8000"))
+# scaling corpus at production-weight DOM (d200 pages, ~20-30 KB HTML — still
+# LIGHTER than median real-web HTML). Sized so the quiet-case schedule fits
+# the total budget with headroom: at d200 the Arrow-batched parse stage
+# (which scales at ~0.96+) dominates the round wall, so the ~14 s fixed
+# driver cost (constant across corpus sizes; at production round sizes
+# amortized to nothing) stays a small fraction at BOTH levels. 4000 hosts
+# halves round-3's 8000-host walls (~460 s → ~230 s at 2 cores) — the
+# low-level walls were the budget killer that timed out round 3.
+SCALE_HOSTS = int(os.environ.get("NIMBUS_BENCH_SCALE_HOSTS", "4000"))
 SCALE_DOM = int(os.environ.get("NIMBUS_BENCH_SCALE_DOM", "200"))
+
+# ---------------------------------------------------------------------------
+# one total wall budget; crash-proof incremental output
+# ---------------------------------------------------------------------------
+
+TOTAL_WALL = float(os.environ.get("NIMBUS_BENCH_TOTAL_WALL", "1450"))
+RESERVE = 40.0  # tail reserve: finalize + JSON print + interpreter teardown
+T0 = time.monotonic()
+
+OUT: dict = {
+    "sf": SF_DIR,
+    "cpus": CPUS,
+    "budget_sec": TOTAL_WALL,
+    "metric": "crawl-round URLs/sec + headline query secs (sf=%s)" % SF_DIR,
+    "unit": "sec",
+}
+_PRINTED = False
+_CHILD: subprocess.Popen | None = None
+
+
+def remaining() -> float:
+    return TOTAL_WALL - (time.monotonic() - T0)
+
+
+def finalize() -> None:
+    global _PRINTED
+    if _PRINTED:
+        return
+    _PRINTED = True
+    OUT["value"] = round(time.monotonic() - T0, 2)
+    print(json.dumps(OUT), flush=True)
+
+
+def _on_signal(signum, frame):  # noqa: ARG001
+    OUT["terminated_by"] = signal.Signals(signum).name
+    child = _CHILD
+    if child is not None:
+        try:
+            child.kill()
+        except OSError:
+            pass
+    finalize()
+    os._exit(0)
+
+
+for _sig in (signal.SIGTERM, signal.SIGINT, signal.SIGALRM):
+    signal.signal(_sig, _on_signal)
+# self-terminate (with output) before the budget expires: if an external cap
+# kills us first the SIGTERM handler prints; if not, the alarm does
+signal.alarm(max(int(TOTAL_WALL - RESERVE / 2), 60))
 
 
 def _force(df) -> int:
@@ -99,19 +162,15 @@ def _session(master: str):
     return build_session(app_name="nimbus-bench", master=master, shuffle_partitions=32)
 
 
-def main() -> None:
+def run_main_phase(spark) -> None:
+    """Headline queries + crawl loop + mega round; fills OUT incrementally."""
     import __spark_entry__ as entrymod
     from nimbus_crawler_spark.plans.bench import (
         bench_crawl_loop,
         bench_mega_round,
-        bench_parse_stage,
         cached_corpus_path,
     )
 
-    t_total = time.perf_counter()
-    out: dict = {"sf": SF_DIR, "cpus": CPUS}
-
-    spark = _session(f"local[{CPUS}]")
     qs = entrymod.queries()
 
     # untimed warmup: JIT, codegen caches, Python UDF workers, parquet
@@ -121,7 +180,10 @@ def main() -> None:
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(256).count()
 
     query_secs: dict[str, float] = {}
+    OUT["queries"] = query_secs
     for name in BENCH_QUERIES:
+        if name not in qs:
+            continue
         t0 = time.perf_counter()
         if name == "dedup_ngram_jaccard":
             # run via the operator with an Observation so the candidate-pair
@@ -137,14 +199,14 @@ def main() -> None:
                     docs, threshold=0.3, shingle_n=3, max_doc_freq=20, observation=obs
                 )
             )
-            out["ngram_candidate_pairs"] = int(obs.get["candidate_pairs"])
+            OUT["ngram_candidate_pairs"] = int(obs.get["candidate_pairs"])
         else:
             _force(qs[name](spark, SF_DIR))
         query_secs[name] = round(time.perf_counter() - t0, 3)
 
     loop_pages = cached_corpus_path(spark, LOOP_HOSTS, LOOP_PPH, fanout=5)
     wh = _bench_tmpdir("nimbus-bench-wh-")
-    out["crawl"] = bench_crawl_loop(spark, loop_pages, wh)
+    OUT["crawl"] = bench_crawl_loop(spark, loop_pages, wh)
     shutil.rmtree(wh, ignore_errors=True)
 
     mega_pages = cached_corpus_path(
@@ -152,234 +214,284 @@ def main() -> None:
         para_words=(60, 160), heavy_dom=MEGA_DOM,
     )
     wh = _bench_tmpdir("nimbus-bench-mega-")
-    out["mega_round"] = bench_mega_round(spark, mega_pages, wh)
+    OUT["mega_round"] = bench_mega_round(spark, mega_pages, wh)
     shutil.rmtree(wh, ignore_errors=True)
-    spark.stop()
 
-    if SCALING:
-        # the sandbox host has bursty external contention: fixed rep
-        # schedule, per-level median over environment-valid samples. Each run
-        # is an isolated CPU-pinned subprocess (plans/scalerun.py).
-        import subprocess
 
-        scale_pages = cached_corpus_path(
-            None, SCALE_HOSTS, MEGA_PPH, fanout=4, zipf_s=0.12,
-            para_words=(60, 160), heavy_dom=SCALE_DOM,
-        )
-        # FIXED rep schedule + per-level MEDIAN (no success-conditioned
-        # stopping — an adaptive stop-on-pass rule is optional-stopping bias:
-        # noise can only help it), with a QUIET-HOST GATE before each rep.
-        #
-        # The VM's external contention has TWO faces, both hitting the
-        # levels ASYMMETRICALLY (the 2-core level uses 2 of 32 host cores
-        # and is nearly immune; the 8-core level swings ±50%):
-        #   (1) hypervisor CPU steal — visible in /proc/stat; bursts last
-        #       minutes. Throughput tracks during-run steal even at low
-        #       rates (measured 0.4/s → 1920, 2.1/s → 1864, 4.4/s → 1600
-        #       URLs/s on identical input).
-        #   (2) memory-bandwidth contention from co-tenants — INVISIBLE to
-        #       steal (measured: an 8-core round at 2.0 jiffies/s steal ran
-        #       2.3× slower than quiet-window pairs while a single-core
-        #       256 MB memcpy probe collapsed from 4.3 GB/s to 0.26 GB/s).
-        # Both defenses are pre-registered ENVIRONMENTAL checks, never the
-        # measured throughput: the gate before each rep requires steal-rate
-        # < quiet_thresh AND probe bandwidth ≥ bw_thresh (wait in 20 s
-        # steps, bounded by the phase deadline); a sample is VALID iff its
-        # during-run steal ≤ valid_steal AND the bandwidth probes
-        # bracketing it (pre + post) both clear bw_thresh. Invalid samples
-        # re-run from bounded per-level retry budgets; the per-level
-        # estimator is the median over valid samples (fallback: all,
-        # recorded as such). Rep allocation is noise-weighted: high ×4,
-        # low ×2 (low-side suppression could only BIAS EFFICIENCY UP, so
-        # the insensitive level needs fewer reps). A hard phase deadline
-        # bounds total wall regardless of host behavior.
-        import statistics
+def run_scaling_phase() -> None:
+    """N→4N scaling probe: fixed rep schedule, per-level median over
+    environment-valid samples, all inside the remaining total budget.
 
-        reps_low = int(os.environ.get("NIMBUS_BENCH_REPS_LOW", "2"))
-        reps_high = int(os.environ.get("NIMBUS_BENCH_REPS_HIGH", "3"))
-        # quiet threshold: steal-rate in jiffies/s (1 jiffy = 10 ms CPU);
-        # quiet windows measure <1, bursts tens-to-hundreds
-        quiet_thresh = float(os.environ.get("NIMBUS_BENCH_QUIET_STEAL", "10"))
-        # during-run steal ≤ 3 jiffies/s ≈ ≤3% throughput effect (measured
-        # 2.1/s → −3% on identical input); stricter thresholds discard
-        # near-clean samples and burn the retry budget on this bursty host
-        valid_steal = float(os.environ.get("NIMBUS_BENCH_VALID_STEAL", "3.0"))
-        # single-core memcpy probe: quiet host measures 4.3-5.7 GB/s,
-        # contended 0.01-3.2 GB/s
-        bw_thresh = float(os.environ.get("NIMBUS_BENCH_QUIET_BW", "3.0"))
-        deadline = time.perf_counter() + float(
-            os.environ.get("NIMBUS_BENCH_SCALE_WALL_CAP", "3400")
-        )
-        retries = {
-            SCALE_LOW: int(os.environ.get("NIMBUS_BENCH_RETRIES_LOW", "2")),
-            SCALE_HIGH: int(os.environ.get("NIMBUS_BENCH_RETRIES_HIGH", "3")),
-        }
-        runs: dict = {SCALE_LOW: [], SCALE_HIGH: []}
-        ps: dict = {}
-        samples: list = []
-        gate_log: list = []
-        env = {**os.environ, "PYTHONPATH": os.path.dirname(os.path.abspath(__file__))}
+    The sandbox host has bursty external contention with TWO faces, both
+    hitting the levels ASYMMETRICALLY (the 2-core level uses 2 of 32 host
+    cores and is nearly immune; the 8-core level swings ±50%):
+      (1) hypervisor CPU steal — visible in /proc/stat; bursts last minutes.
+          Throughput tracks during-run steal even at low rates (measured
+          0.4/s → 1920, 2.1/s → 1864, 4.4/s → 1600 URLs/s on identical
+          input).
+      (2) memory-bandwidth contention from co-tenants — INVISIBLE to steal
+          (measured: an 8-core round at 2.0 jiffies/s steal ran 2.3× slower
+          than quiet-window pairs while a single-core 256 MB memcpy probe
+          collapsed from 4.3 GB/s to 0.26 GB/s).
+    Both defenses are pre-registered ENVIRONMENTAL checks, never the measured
+    throughput: the gate before each rep requires steal-rate < quiet_thresh
+    AND probe bandwidth ≥ bw_thresh — but the gate WAIT is bounded (default
+    ≤120 s per rep): with during-run validity marking as the real defense,
+    an endless gate would just burn the budget sleeping (the round-3
+    failure mode). A sample is VALID iff its during-run steal ≤ valid_steal
+    AND the bandwidth probes bracketing it (pre + post) both clear
+    bw_thresh. Invalid OR CRASHED reps re-run from bounded per-level retry
+    budgets (a crashed subprocess consumes a retry and is recorded in the
+    samples log — never silently dropped). Rep allocation is noise-weighted:
+    high ×3, low ×2 (low-side suppression could only BIAS EFFICIENCY UP, so
+    the insensitive level needs fewer reps), schedule L,H,H,L,H. Before each
+    rep the harness checks the rep's estimated wall (last observed wall for
+    that level × 1.15) against the remaining budget and skips reps that
+    don't fit, keeping ≥1 attempted sample per level.
+    """
+    from nimbus_crawler_spark.plans.bench import cached_corpus_path
 
-        def steal_jiffies() -> int:
-            try:
-                with open("/proc/stat") as f:
-                    parts = f.readline().split()
-                return int(parts[8]) if len(parts) > 8 else 0
-            except OSError:
-                return 0
+    global _CHILD
 
-        def steal_rate(window_s: float = 3.0) -> float:
-            s0 = steal_jiffies()
-            time.sleep(window_s)
-            return (steal_jiffies() - s0) / window_s
+    t_gen = time.monotonic()
+    scale_pages = cached_corpus_path(
+        None, SCALE_HOSTS, MEGA_PPH, fanout=4, zipf_s=0.12,
+        para_words=(60, 160), heavy_dom=SCALE_DOM,
+    )
+    OUT["scale_corpus_gen_sec"] = round(time.monotonic() - t_gen, 1)
 
-        import numpy as _np
+    reps_low = int(os.environ.get("NIMBUS_BENCH_REPS_LOW", "2"))
+    reps_high = int(os.environ.get("NIMBUS_BENCH_REPS_HIGH", "3"))
+    # quiet threshold: steal-rate in jiffies/s (1 jiffy = 10 ms CPU);
+    # quiet windows measure <1, bursts tens-to-hundreds
+    quiet_thresh = float(os.environ.get("NIMBUS_BENCH_QUIET_STEAL", "10"))
+    # during-run steal ≤ 3 jiffies/s ≈ ≤3% throughput effect (measured
+    # 2.1/s → −3% on identical input); stricter thresholds discard
+    # near-clean samples and burn the retry budget on this bursty host
+    valid_steal = float(os.environ.get("NIMBUS_BENCH_VALID_STEAL", "3.0"))
+    # single-core memcpy probe: quiet host measures 4.3-5.7 GB/s,
+    # contended 0.01-3.2 GB/s
+    bw_thresh = float(os.environ.get("NIMBUS_BENCH_QUIET_BW", "3.0"))
+    gate_wait_max = float(os.environ.get("NIMBUS_BENCH_GATE_WAIT", "120"))
+    retries = {
+        SCALE_LOW: int(os.environ.get("NIMBUS_BENCH_RETRIES_LOW", "2")),
+        SCALE_HIGH: int(os.environ.get("NIMBUS_BENCH_RETRIES_HIGH", "3")),
+    }
+    # initial per-rep wall estimates (subprocess total: JVM start + warmup +
+    # template copy + timed round + optional parse probe), refined from each
+    # observed rep; used only for budget fit checks
+    est = {SCALE_LOW: 320.0, SCALE_HIGH: 130.0}
+    runs: dict = {SCALE_LOW: [], SCALE_HIGH: []}
+    ps: dict = {}
+    samples: list = []
+    gate_log: list = []
+    skipped: list = []
+    env = {**os.environ, "PYTHONPATH": os.path.dirname(os.path.abspath(__file__))}
+    if CPUS < SCALE_HIGH + 1:
+        # not enough host CPUs to grant BOTH levels the +1 shared driver
+        # core — disable it symmetrically rather than skewing one level
+        env["NIMBUS_SCALE_DRIVER_CORE"] = "0"
 
-        _bw_src = _np.ones(64 * 1024 * 1024, dtype=_np.uint8)
-        _bw_dst = _bw_src.copy()
+    def steal_jiffies() -> int:
+        try:
+            with open("/proc/stat") as f:
+                parts = f.readline().split()
+            return int(parts[8]) if len(parts) > 8 else 0
+        except OSError:
+            return 0
 
-        def bw_gbps() -> float:
-            """Single-core memcpy rate on warm buffers (2×64 MB copies)."""
-            t0 = time.perf_counter()
-            _np.copyto(_bw_dst, _bw_src)
-            _np.copyto(_bw_dst, _bw_src)
-            return 0.125 / max(time.perf_counter() - t0, 1e-9)
+    def steal_rate(window_s: float = 3.0) -> float:
+        s0 = steal_jiffies()
+        time.sleep(window_s)
+        return (steal_jiffies() - s0) / window_s
 
-        def env_probe() -> tuple[float, float]:
-            return steal_rate(), bw_gbps()
+    import numpy as _np
 
-        def quiet_gate() -> tuple[float, float]:
+    _bw_src = _np.ones(64 * 1024 * 1024, dtype=_np.uint8)
+    _bw_dst = _bw_src.copy()
+
+    def bw_gbps() -> float:
+        """Single-core memcpy rate on warm buffers (2×64 MB copies)."""
+        t0 = time.perf_counter()
+        _np.copyto(_bw_dst, _bw_src)
+        _np.copyto(_bw_dst, _bw_src)
+        return 0.125 / max(time.perf_counter() - t0, 1e-9)
+
+    def env_probe() -> tuple[float, float]:
+        return steal_rate(), bw_gbps()
+
+    def quiet_gate(wait_budget: float) -> tuple[float, float]:
+        """Wait (bounded) for a quiet host window; returns the last probe."""
+        waited = 0.0
+        rate, bw = env_probe()
+        cap = min(gate_wait_max, wait_budget)
+        while (rate > quiet_thresh or bw < bw_thresh) and waited < cap:
+            time.sleep(20)
+            waited += 23.0
             rate, bw = env_probe()
-            while (rate > quiet_thresh or bw < bw_thresh) and (
-                time.perf_counter() < deadline
-            ):
-                time.sleep(20)
-                rate, bw = env_probe()
-            gate_log.append([round(rate, 1), round(bw, 2)])
-            return rate, bw
+        gate_log.append([round(rate, 1), round(bw, 2)])
+        return rate, bw
 
-        parse_probes = {SCALE_LOW: 0, SCALE_HIGH: 0}
+    parse_probes = {SCALE_LOW: 0, SCALE_HIGH: 0}
 
-        def one_run(m: int, rep: int) -> bool:
-            """Run one pinned measurement; returns sample validity."""
-            pre_rate, pre_bw = quiet_gate()
-            # the parse-stage probe costs ~45 s per low-level run: probe the
-            # first two runs per level (max kept), then stop paying for it
-            with_parse = parse_probes[m] < 2
-            parse_probes[m] += 1 if with_parse else 0
-            renv = {**env, "NIMBUS_SCALE_PARSE": "1" if with_parse else "0"}
-            proc = subprocess.run(
-                [sys.executable, "-m", "nimbus_crawler_spark.plans.scalerun",
-                 str(m), scale_pages],
-                capture_output=True, text=True, env=renv,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            post_rate, post_bw = env_probe()
-            line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
-            if not line.startswith("{"):
-                print(f"scalerun {m} failed: {proc.stderr[-500:]}", file=sys.stderr)
-                return True  # infrastructure failure, not contamination
-            res = json.loads(line)
-            r, p = res["round"], res.get("parse")
-            rate_during = (r.get("steal_jiffies") or 0) / max(r["wall_sec"], 1.0)
-            valid = (
-                rate_during <= valid_steal
-                and pre_bw >= bw_thresh
-                and post_bw >= bw_thresh
-            )
-            r["_valid"] = valid
+    def update_scaling(partial: bool) -> None:
+        """(Re)compute the scaling block from samples so far — called after
+        every rep so a kill at ANY point leaves the best current answer."""
+        if not (runs[SCALE_LOW] and runs[SCALE_HIGH]):
+            return
+        lo, hi = median_run(runs[SCALE_LOW]), median_run(runs[SCALE_HIGH])
+        factor = SCALE_HIGH / SCALE_LOW
+        eff = hi["urls_per_sec_median"] / (factor * lo["urls_per_sec_median"])
+        OUT["scaling"] = {
+            "low_parallelism": {"cores": SCALE_LOW, **lo},
+            "high_parallelism": {"cores": SCALE_HIGH, **hi},
+            "factor": factor,
+            "efficiency": round(eff, 3),
+            "isolation": "cpu-pinned subprocess, 4GiB/core",
+            "estimator": (
+                f"median per level over environment-valid reps "
+                f"(low×{reps_low}, high×{reps_high}; gate: steal < "
+                f"{quiet_thresh}/s AND probe bw ≥ {bw_thresh} GB/s, wait "
+                f"≤{gate_wait_max:.0f}s; sample valid iff during-run steal "
+                f"≤ {valid_steal}/s AND pre/post bw probes ≥ {bw_thresh} "
+                f"GB/s; invalid/crashed samples re-run, retries unused: "
+                f"low {retries[SCALE_LOW]} high {retries[SCALE_HIGH]})"
+            ),
+            "quiet_gate_rates": gate_log,
+            "samples": samples,
+            "skipped_reps": skipped,
+            "partial": partial,
+        }
+        if not partial:
+            del OUT["scaling"]["partial"]
+        if SCALE_LOW in ps and SCALE_HIGH in ps:
+            OUT["parse_stage_scaling"] = {
+                "low": {"cores": SCALE_LOW, **ps[SCALE_LOW]},
+                "high": {"cores": SCALE_HIGH, **ps[SCALE_HIGH]},
+                "factor": factor,
+                "efficiency": round(
+                    ps[SCALE_HIGH]["pages_per_sec"]
+                    / (factor * ps[SCALE_LOW]["pages_per_sec"]), 3
+                ),
+            }
+
+    def one_run(m: int, rep: int) -> str:
+        """One pinned measurement; returns 'valid' | 'invalid' | 'crashed'."""
+        global _CHILD
+        pre_rate, pre_bw = quiet_gate(remaining() - est[m] - RESERVE)
+        # the parse-stage probe costs ~25 s per low-level run: probe once
+        # per level, then stop paying for it
+        with_parse = parse_probes[m] < 1
+        parse_probes[m] += 1 if with_parse else 0
+        renv = {**env, "NIMBUS_SCALE_PARSE": "1" if with_parse else "0"}
+        t_rep = time.monotonic()
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "nimbus_crawler_spark.plans.scalerun",
+             str(m), scale_pages],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=renv,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        _CHILD = proc
+        out_s, err_s = proc.communicate()
+        _CHILD = None
+        rep_wall = time.monotonic() - t_rep
+        est[m] = rep_wall * 1.15
+        post_rate, post_bw = env_probe()
+        line = out_s.strip().splitlines()[-1] if out_s.strip() else ""
+        if not line.startswith("{"):
+            print(f"scalerun {m} failed: {err_s[-500:]}", file=sys.stderr)
             samples.append(
                 {
                     "cores": m,
                     "rep": rep,
-                    "urls_per_sec": r["urls_per_sec"],
-                    "steal_rate_during": round(rate_during, 2),
-                    "steal_rate_before": round(pre_rate, 2),
-                    "bw_before": round(pre_bw, 2),
-                    "bw_after": round(post_bw, 2),
-                    "steal_rate_after": round(post_rate, 2),
-                    "valid": valid,
+                    "rep_wall_sec": round(rep_wall, 1),
+                    "error": (err_s or "no output")[-200:],
+                    "valid": False,
                 }
             )
-            runs[m].append(r)
-            if p and (m not in ps or p["pages_per_sec"] > ps[m]["pages_per_sec"]):
-                ps[m] = p
-            return valid
-
-        def median_run(rs: list) -> dict:
-            # median over environment-valid samples; if contamination never
-            # cleared, fall back to all samples (recorded as such)
-            pool = [r for r in rs if r.get("_valid")] or rs
-            med = statistics.median(r["urls_per_sec"] for r in pool)
-            # report the sample closest to the median (the median IS a
-            # sample for odd rep counts)
-            return min(pool, key=lambda r: abs(r["urls_per_sec"] - med)) | {
-                "urls_per_sec_median": round(med, 1),
-                "median_over_valid": len(pool),
+            return "crashed"
+        res = json.loads(line)
+        r, p = res["round"], res.get("parse")
+        rate_during = (r.get("steal_jiffies") or 0) / max(r["wall_sec"], 1.0)
+        valid = (
+            rate_during <= valid_steal
+            and pre_bw >= bw_thresh
+            and post_bw >= bw_thresh
+        )
+        r["_valid"] = valid
+        samples.append(
+            {
+                "cores": m,
+                "rep": rep,
+                "urls_per_sec": r["urls_per_sec"],
+                "rep_wall_sec": round(rep_wall, 1),
+                "steal_rate_during": round(rate_during, 2),
+                "steal_rate_before": round(pre_rate, 2),
+                "bw_before": round(pre_bw, 2),
+                "bw_after": round(post_bw, 2),
+                "steal_rate_after": round(post_rate, 2),
+                "valid": valid,
             }
+        )
+        runs[m].append(r)
+        if p and (m not in ps or p["pages_per_sec"] > ps[m]["pages_per_sec"]):
+            ps[m] = p
+        update_scaling(partial=True)
+        return "valid" if valid else "invalid"
 
-        # spread the long low-level runs apart so consecutive reps don't
-        # share one contention burst: L,H,H,L,H,H
-        schedule = []
-        for i in range(max(reps_low, reps_high)):
-            if i < reps_low:
-                schedule.append((SCALE_LOW, i))
-            for j in (2 * i, 2 * i + 1):
-                if j < reps_high:
-                    schedule.append((SCALE_HIGH, j))
-        for m, rep in schedule:
-            if runs[m] and time.perf_counter() > deadline:
-                continue  # deadline passed; keep ≥1 sample per level
-            ok = one_run(m, rep)
-            while not ok and retries[m] > 0 and time.perf_counter() < deadline:
-                retries[m] -= 1
-                ok = one_run(m, rep)
-        if runs[SCALE_LOW] and runs[SCALE_HIGH]:
-            lo, hi = median_run(runs[SCALE_LOW]), median_run(runs[SCALE_HIGH])
-            factor = SCALE_HIGH / SCALE_LOW
-            eff = hi["urls_per_sec_median"] / (factor * lo["urls_per_sec_median"])
-            out["scaling"] = {
-                "low_parallelism": {"cores": SCALE_LOW, **lo},
-                "high_parallelism": {"cores": SCALE_HIGH, **hi},
-                "factor": factor,
-                "efficiency": round(eff, 3),
-                "isolation": "cpu-pinned subprocess, 4GiB/core",
-                "estimator": (
-                    f"median per level over environment-valid reps "
-                    f"(low×{reps_low}, high×{reps_high}; gate: steal < "
-                    f"{quiet_thresh}/s AND probe bw ≥ {bw_thresh} GB/s; "
-                    f"sample valid iff during-run steal ≤ {valid_steal}/s "
-                    f"AND pre/post bw probes ≥ {bw_thresh} GB/s; invalid "
-                    f"samples re-run, retries unused: low {retries[SCALE_LOW]} "
-                    f"high {retries[SCALE_HIGH]})"
-                ),
-                "quiet_gate_rates": gate_log,
-                "samples": samples,
-            }
-            # parse-stage scaling: the fetch round's dominant compute in
-            # isolation (the full-round number above also carries local-mode
-            # orchestration that a real cluster distributes per-executor)
-            if SCALE_LOW in ps and SCALE_HIGH in ps:
-                out["parse_stage_scaling"] = {
-                    "low": {"cores": SCALE_LOW, **ps[SCALE_LOW]},
-                    "high": {"cores": SCALE_HIGH, **ps[SCALE_HIGH]},
-                    "factor": factor,
-                    "efficiency": round(
-                        ps[SCALE_HIGH]["pages_per_sec"]
-                        / (factor * ps[SCALE_LOW]["pages_per_sec"]), 3
-                    ),
-                }
-
-    out.update(
-        {
-            "metric": "crawl-round URLs/sec + headline query secs (sf=%s)" % SF_DIR,
-            "value": round(time.perf_counter() - t_total, 2),
-            "unit": "sec",
-            "queries": query_secs,
+    def median_run(rs: list) -> dict:
+        # median over environment-valid samples; if contamination never
+        # cleared, fall back to all samples (recorded as such)
+        pool = [r for r in rs if r.get("_valid")] or rs
+        med = statistics.median(r["urls_per_sec"] for r in pool)
+        # report the sample closest to the median (the median IS a
+        # sample for odd rep counts)
+        return min(pool, key=lambda r: abs(r["urls_per_sec"] - med)) | {
+            "urls_per_sec_median": round(med, 1),
+            "median_over_valid": len(pool),
         }
-    )
-    print(json.dumps(out))
+
+    def fits(m: int) -> bool:
+        return remaining() > est[m] + RESERVE
+
+    # spread the long low-level runs apart so consecutive reps don't share
+    # one contention burst: L,H,H,L,H (reps_low=2, reps_high=3 defaults)
+    schedule = []
+    for i in range(max(reps_low, reps_high)):
+        if i < reps_low:
+            schedule.append((SCALE_LOW, i))
+        for j in (2 * i, 2 * i + 1):
+            if j < reps_high:
+                schedule.append((SCALE_HIGH, j))
+    for m, rep in schedule:
+        if runs[m] and not fits(m):
+            skipped.append({"cores": m, "rep": rep, "reason": "budget"})
+            continue  # budget exhausted; keep ≥1 attempted sample per level
+        status = one_run(m, rep)
+        while status != "valid" and retries[m] > 0 and fits(m):
+            retries[m] -= 1
+            status = one_run(m, rep)
+    update_scaling(partial=False)
+
+
+def main() -> None:
+    spark = _session(f"local[{CPUS}]")
+    try:
+        run_main_phase(spark)
+    except Exception as exc:  # record, then still attempt the scaling phase
+        OUT["main_phase_error"] = f"{type(exc).__name__}: {exc}"[:300]
+    finally:
+        spark.stop()
+    if SCALING:
+        try:
+            run_scaling_phase()
+        except Exception as exc:
+            OUT["scaling_phase_error"] = f"{type(exc).__name__}: {exc}"[:300]
+    finalize()
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    finally:
+        finalize()

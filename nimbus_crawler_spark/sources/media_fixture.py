@@ -1,0 +1,168 @@
+"""Deterministic multimodal fixture: real BMP/WAV/raw payloads plus
+independently-computed expected features.
+
+This closes the last ``no_oracle`` gap (round-3 verdict §missing #2): the
+BMP/WAV decode path in ``operators.multimodal`` is exercised end-to-end by a
+driver gate that decodes REAL containers under Spark and compares against a
+fixture parquet of expected features. The expected side never calls the
+decoders: it recomputes luminance / sample statistics straight from the
+generative arrays with plain-Python integer math and ``collections.Counter``
+histograms, so header packing, stride padding, BGR channel order, and the
+int16→uint8 sample transform are all genuinely under test (a decoder bug
+cannot cancel out).
+
+The fixture is sf-independent (pure function of the id range), so the same
+expected parquet is valid at every scale factor.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import numpy as np
+
+from ..operators.multimodal import make_bmp, make_wav
+
+FIXTURE_N = 60
+_NBINS = 16
+
+_COLUMNS = [
+    "media_id",
+    "kind",
+    "format",
+    "n_bytes",
+    "byte_entropy",
+    "hist_csv",
+    "frames_sampled",
+    "width",
+    "height",
+    "sample_rate",
+    "duration_s",
+]
+
+
+def _bmp_dims(media_id: int) -> tuple[int, int]:
+    return 8 + media_id % 13, 5 + media_id % 7
+
+
+def _wav_params(media_id: int) -> tuple[int, int]:
+    return 180 + 37 * media_id, 8000 + 250 * (media_id % 5)
+
+
+def _raw_payload(media_id: int) -> bytes:
+    return bytes((media_id * 37 + i * 11) % 256 for i in range(120 + media_id))
+
+
+def fixture_media_rows(n: int = FIXTURE_N) -> list[tuple]:
+    """(media_id, kind, mime, payload, meta_json) rows: id%3 cycles
+    image/BMP → audio/WAV → video/raw."""
+    rows = []
+    for i in range(n):
+        if i % 3 == 0:
+            w, h = _bmp_dims(i)
+            rows.append((i, "image", "image/bmp", make_bmp(w, h, seed=i), None))
+        elif i % 3 == 1:
+            frames, rate = _wav_params(i)
+            rows.append((i, "audio", "audio/wav", make_wav(frames, rate, seed=i), None))
+        else:
+            rows.append((i, "video", "video/x-raw", _raw_payload(i), None))
+    return rows
+
+
+def _expected_stats(values: list[int]) -> tuple[str, float]:
+    """Histogram CSV + HALF_UP-6dp entropy over uint8 values — plain-Python
+    reference implementation, independent of numpy ``_hist_entropy``."""
+    counts = Counter(v // 16 for v in values)
+    n = len(values)
+    hist_csv = ",".join(str(counts.get(b, 0)) for b in range(_NBINS))
+    if n == 0:
+        return hist_csv, 0.0
+    entropy = -sum(
+        (counts[b] / n) * math.log2(counts[b] / n)
+        for b in sorted(counts)
+        if counts[b] > 0
+    )
+    return hist_csv, math.floor(entropy * 1e6 + 0.5) / 1e6
+
+
+def fixture_expected_rows(n: int = FIXTURE_N) -> list[dict]:
+    """Expected FEATURE rows for ``fixture_media_rows`` payloads, computed
+    from the generative arrays (never by parsing the containers)."""
+    out = []
+    for i in range(n):
+        row: dict = {c: None for c in _COLUMNS}
+        row["media_id"] = i
+        if i % 3 == 0:
+            w, h = _bmp_dims(i)
+            stride = ((w * 3 + 3) // 4) * 4
+            px = np.random.default_rng(i).integers(0, 256, size=(h, stride), dtype=np.uint8)
+            lum = [
+                (int(px[y, 3 * x + 2]) * 299 + int(px[y, 3 * x + 1]) * 587 + int(px[y, 3 * x]) * 114)
+                // 1000
+                for y in range(h)
+                for x in range(w)
+            ]
+            hist_csv, entropy = _expected_stats(lum)
+            row.update(
+                kind="image", format="bmp", n_bytes=54 + stride * h,
+                byte_entropy=entropy, hist_csv=hist_csv, frames_sampled=1,
+                width=w, height=h,
+            )
+        elif i % 3 == 1:
+            frames, rate = _wav_params(i)
+            samples = np.random.default_rng(i).integers(
+                -(2**15), 2**15, size=frames, dtype=np.int16
+            )
+            vals = [int(s) // 256 + 128 for s in samples]
+            hist_csv, entropy = _expected_stats(vals)
+            row.update(
+                kind="audio", format="wav", n_bytes=44 + 2 * frames,
+                byte_entropy=entropy, hist_csv=hist_csv, frames_sampled=frames,
+                sample_rate=rate, duration_s=round(frames / rate, 6),
+            )
+        else:
+            payload = _raw_payload(i)
+            hist_csv, entropy = _expected_stats(list(payload))
+            row.update(
+                kind="video", format="raw", n_bytes=len(payload),
+                byte_entropy=entropy, hist_csv=hist_csv,
+                frames_sampled=max(1, len(payload) // 256),
+            )
+        out.append(row)
+    return out
+
+
+def write_expected_parquet(path: str, n: int = FIXTURE_N) -> str:
+    """Write the expected-features fixture as ONE parquet file (idempotent)
+    with explicit types matching the Spark gate's output schema."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        return path
+    rows = fixture_expected_rows(n)
+    schema = pa.schema(
+        [
+            ("media_id", pa.int64()),
+            ("kind", pa.string()),
+            ("format", pa.string()),
+            ("n_bytes", pa.int64()),
+            ("byte_entropy", pa.float64()),
+            ("hist_csv", pa.string()),
+            ("frames_sampled", pa.int32()),
+            ("width", pa.int32()),
+            ("height", pa.int32()),
+            ("sample_rate", pa.int32()),
+            ("duration_s", pa.float64()),
+        ]
+    )
+    table = pa.Table.from_pydict(
+        {name: [r[name] for r in rows] for name in _COLUMNS}, schema=schema
+    )
+    tmp = f"{path}.tmp-{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path

@@ -249,3 +249,63 @@ class TestMultimodal:
         assert feats[0]["format"] == "bmp" and feats[0]["width"] == 6
         assert feats[1]["format"] == "wav" and feats[1]["duration_s"] == 0.1
         assert feats[2]["format"] == "raw" and feats[2]["frames_sampled"] >= 1
+
+
+class TestMediaFixture:
+    def test_decoded_equals_independent_expected(self):
+        """Every fixture payload decoded by the operator's decoders must
+        match the plain-Python expected features bit-for-bit (including the
+        HALF_UP 6dp entropies) — the full-path oracle's premise."""
+        from nimbus_crawler_spark.operators.multimodal import decode_media
+        from nimbus_crawler_spark.sources.media_fixture import (
+            _COLUMNS,
+            fixture_expected_rows,
+            fixture_media_rows,
+        )
+
+        media, exp = fixture_media_rows(), fixture_expected_rows()
+        assert {r["format"] for r in exp} == {"bmp", "wav", "raw"}
+        for (mid, kind, _mime, payload, _), e in zip(media, exp):
+            d = decode_media(payload, kind)
+            got = {
+                "media_id": mid, "kind": kind, "format": d["format"],
+                "n_bytes": d["n_bytes"], "byte_entropy": d["byte_entropy"],
+                "hist_csv": ",".join(map(str, d["histogram"])),
+                "frames_sampled": d["frames_sampled"],
+                "width": d.get("width"), "height": d.get("height"),
+                "sample_rate": d.get("sample_rate"),
+                "duration_s": d.get("duration_s"),
+            }
+            assert {c: got[c] for c in _COLUMNS} == e
+
+    def test_expected_parquet_idempotent(self, tmp_path):
+        from nimbus_crawler_spark.sources.media_fixture import write_expected_parquet
+
+        p = str(tmp_path / "exp.parquet")
+        assert write_expected_parquet(p) == p
+        mtime = __import__("os").path.getmtime(p)
+        assert write_expected_parquet(p) == p  # no rewrite
+        assert __import__("os").path.getmtime(p) == mtime
+
+
+class TestGlobalRowNumberExchangeReuse:
+    def test_ordinals_correct_with_exchange_reuse_disabled(self, spark):
+        """Regression for the reuse-ordinal invariant (ranking.py): with
+        spark.sql.exchange.reuse=false the range exchange would otherwise run
+        twice with possibly different sampled boundaries; the localCheckpoint
+        fallback must keep ordinals exact."""
+        from nimbus_crawler_spark.operators.ranking import global_row_number
+
+        spark.conf.set("spark.sql.exchange.reuse", "false")
+        try:
+            rows = [(k,) for k in [5, 3, 9, 1, 7, 2, 8, 0, 6, 4] * 50]
+            df = spark.createDataFrame(
+                [(k * 1000 + i,) for i, (k,) in enumerate(rows)], "key long"
+            )
+            out = global_row_number(df, ["key"], "rn", num_partitions=7, start=3)
+            got = [r["key"] for r in out.orderBy("rn").collect()]
+            assert got == sorted(got)
+            rns = sorted(r["rn"] for r in out.collect())
+            assert rns == list(range(3, 3 + len(rows)))
+        finally:
+            spark.conf.set("spark.sql.exchange.reuse", "true")
