@@ -217,6 +217,20 @@ def run_main_phase(spark) -> None:
     OUT["mega_round"] = bench_mega_round(spark, mega_pages, wh)
     shutil.rmtree(wh, ignore_errors=True)
 
+    if SCALING:
+        # generate the scaling corpus and pre-seed its template warehouse on
+        # THIS 32-core session: setup work stays out of the (pinned, slow)
+        # first scaling rep and off its wall estimate
+        from nimbus_crawler_spark.plans.bench import ensure_scale_template
+
+        t_gen = time.monotonic()
+        scale_pages = cached_corpus_path(
+            None, SCALE_HOSTS, MEGA_PPH, fanout=4, zipf_s=0.12,
+            para_words=(60, 160), heavy_dom=SCALE_DOM,
+        )
+        ensure_scale_template(spark, scale_pages)
+        OUT["scale_setup_sec"] = round(time.monotonic() - t_gen, 1)
+
 
 def run_scaling_phase() -> None:
     """N→4N scaling probe: fixed rep schedule, per-level median over
@@ -279,8 +293,10 @@ def run_scaling_phase() -> None:
     }
     # initial per-rep wall estimates (subprocess total: JVM start + warmup +
     # template copy + timed round + optional parse probe), refined from each
-    # observed rep; used only for budget fit checks
-    est = {SCALE_LOW: 320.0, SCALE_HIGH: 130.0}
+    # observed rep; used only for budget fit checks. Seeded from measured
+    # contaminated-window runs at the default 4000-host corpus (pessimistic:
+    # 2-core 517 s incl. the now-preseeded template and a 2.7× parse probe).
+    est = {SCALE_LOW: 420.0, SCALE_HIGH: 160.0}
     runs: dict = {SCALE_LOW: [], SCALE_HIGH: []}
     ps: dict = {}
     samples: list = []
@@ -472,6 +488,13 @@ def run_scaling_phase() -> None:
             retries[m] -= 1
             status = one_run(m, rep)
     update_scaling(partial=False)
+    if "scaling" not in OUT and samples:
+        # one level never produced a sample — still record the evidence
+        OUT["scaling_incomplete"] = {
+            "samples": samples,
+            "quiet_gate_rates": gate_log,
+            "skipped_reps": skipped,
+        }
 
 
 def main() -> None:

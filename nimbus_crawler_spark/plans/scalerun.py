@@ -86,25 +86,11 @@ def main() -> None:
     )
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     # seed once per corpus into a template warehouse, copy per rep — repeat
-    # reps then time only the round (seeding is setup, not the scaled job)
-    import hashlib
+    # reps then time only the round (seeding is setup, not the scaled job;
+    # bench.py pre-seeds this from its 32-core session so no rep pays it)
+    from .bench import ensure_scale_template
 
-    from ..config import CrawlConfig
-    from ..store import SnapshotStore
-    from .bench import seed_full_frontier
-
-    cfg = CrawlConfig(round_ms=3_600_000, max_depth=3, shuffle_partitions=32)
-    tkey = hashlib.sha256(
-        f"{pages_path}|{cfg.config_hash()}".encode()
-    ).hexdigest()[:12]
-    template = os.path.join(base or tempfile.gettempdir(), f"nimbus-scale-seed-{tkey}")
-    if not os.path.exists(os.path.join(template, "_commits")):
-        tmp_t = f"{template}.tmp{os.getpid()}"
-        seed_full_frontier(spark, SnapshotStore(spark, tmp_t), pages_path, cfg)
-        try:
-            os.rename(tmp_t, template)
-        except OSError:  # another rep won the race
-            shutil.rmtree(tmp_t, ignore_errors=True)
+    template = ensure_scale_template(spark, pages_path)
     # warm the JVM (codegen, shuffle machinery) and the Python UDF workers
     # before timing: the round must measure steady-state throughput, not
     # JIT compilation and worker-process startup (which a long-lived

@@ -104,6 +104,25 @@ def main() -> int:
     )
     sections.append(("politeness two-phase rank (O2)", explain_str(pol), ["Window"]))
 
+    # 5. ngram Jaccard candidate generation: the doc-frequency COUNT gate
+    # (constant-memory partial agg) must sit upstream of the semi-join that
+    # feeds the only collect_set — a stop-word shingle then never
+    # materializes an O(n) doc array in an aggregation buffer (round-4 fix)
+    from nimbus_crawler_spark.operators.textdedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} alpha beta gamma delta eps zeta eta theta") for i in range(50)],
+        "doc_id long, text string",
+    )
+    ngp = ngram_jaccard_pairs(docs, threshold=0.3, shingle_n=3, max_doc_freq=5)
+    sections.append(
+        (
+            "ngram Jaccard: DF count-gate + semi-join before collect_set",
+            explain_str(ngp),
+            ["LeftSemi", "count(1)", "collect_set"],
+        )
+    )
+
     ok = True
     lines = ["# Physical plans (captured by tools/explain_plans.py)\n"]
     for title, text, must_contain in sections:
