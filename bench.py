@@ -256,9 +256,15 @@ def run_scaling_phase() -> None:
     AND the bandwidth probes bracketing it (pre + post) both clear
     bw_thresh. Invalid OR CRASHED reps re-run from bounded per-level retry
     budgets (a crashed subprocess consumes a retry and is recorded in the
-    samples log — never silently dropped). Rep allocation is noise-weighted:
-    high ×3, low ×2 (low-side suppression could only BIAS EFFICIENCY UP, so
-    the insensitive level needs fewer reps), schedule L,H,H,L,H. Before each
+    samples log — never silently dropped); HIGH retries run immediately,
+    LOW retries are deferred to leftover budget and run only if no valid
+    low sample exists — a contaminated low sample can only bias efficiency
+    UP, so discarding it is conservative and its re-run must never crowd
+    out a high rep. Rep allocation is noise-weighted:
+    high ×3, low ×2 (the insensitive level needs fewer reps), schedule
+    H,L,H,H,L — the cheap high reps get budget priority because the high
+    MEDIAN drives the efficiency and an even-count median averages in
+    outliers; the trailing low rep is the first budget-skipped. Before each
     rep the harness checks the rep's estimated wall (last observed wall for
     that level × 1.15) against the remaining budget and skips reps that
     don't fit, keeping ≥1 attempted sample per level.
@@ -370,7 +376,9 @@ def run_scaling_phase() -> None:
                 f"{quiet_thresh}/s AND probe bw ≥ {bw_thresh} GB/s, wait "
                 f"≤{gate_wait_max:.0f}s; sample valid iff during-run steal "
                 f"≤ {valid_steal}/s AND pre/post bw probes ≥ {bw_thresh} "
-                f"GB/s; invalid/crashed samples re-run, retries unused: "
+                f"GB/s; schedule H,L,H,H,L; invalid/crashed high reps "
+                f"retried immediately, low reps only from leftover budget "
+                f"when no valid low sample exists; retries unused: "
                 f"low {retries[SCALE_LOW]} high {retries[SCALE_HIGH]})"
             ),
             "quiet_gate_rates": gate_log,
@@ -470,23 +478,39 @@ def run_scaling_phase() -> None:
     def fits(m: int) -> bool:
         return remaining() > est[m] + RESERVE
 
-    # spread the long low-level runs apart so consecutive reps don't share
-    # one contention burst: L,H,H,L,H (reps_low=2, reps_high=3 defaults)
-    schedule = []
-    for i in range(max(reps_low, reps_high)):
-        if i < reps_low:
-            schedule.append((SCALE_LOW, i))
-        for j in (2 * i, 2 * i + 1):
-            if j < reps_high:
-                schedule.append((SCALE_HIGH, j))
+    # High-priority schedule H,L,H,H,L: the high level carries the noise
+    # (valid 8-core samples have been observed 48% apart) and its MEDIAN
+    # drives the efficiency — with only 2 samples statistics.median averages
+    # them, so landing all 3 high reps matters more than the second low rep.
+    # Highs are also 3× cheaper, so when the budget runs short the trailing
+    # LOW rep is the one skipped. The first (cheap) high rep guarantees an
+    # early sample at that level whatever happens later.
+    schedule = [(SCALE_HIGH, 0)]
+    if reps_low > 0:
+        schedule.append((SCALE_LOW, 0))
+    schedule += [(SCALE_HIGH, j) for j in range(1, reps_high)]
+    schedule += [(SCALE_LOW, i) for i in range(1, reps_low)]
     for m, rep in schedule:
         if runs[m] and not fits(m):
             skipped.append({"cores": m, "rep": rep, "reason": "budget"})
             continue  # budget exhausted; keep ≥1 attempted sample per level
         status = one_run(m, rep)
-        while status != "valid" and retries[m] > 0 and fits(m):
+        # immediate retry only for the noise-sensitive HIGH level. A
+        # contaminated LOW sample can only bias efficiency UP (steal slows
+        # it, shrinking the denominator), so low retries are deferred: they
+        # run from leftover budget only if NO valid low sample exists —
+        # round 4's dress rehearsal spent 353 s on an immediate low retry
+        # and then had to budget-skip the third high rep.
+        while m == SCALE_HIGH and status != "valid" and retries[m] > 0 and fits(m):
             retries[m] -= 1
             status = one_run(m, rep)
+    while (
+        not any(r.get("_valid") for r in runs[SCALE_LOW])
+        and retries[SCALE_LOW] > 0
+        and fits(SCALE_LOW)
+    ):
+        retries[SCALE_LOW] -= 1
+        one_run(SCALE_LOW, len(runs[SCALE_LOW]))
     update_scaling(partial=False)
     if "scaling" not in OUT and samples:
         # one level never produced a sample — still record the evidence
@@ -498,6 +522,11 @@ def run_scaling_phase() -> None:
 
 
 def main() -> None:
+    # stage profile on every crawl round (driver-side perf_counter ticks at
+    # existing barriers, zero extra jobs): mega_round and every scaling
+    # sample then carry per-stage walls — the evidence for WHICH stage
+    # scales and which carries the fixed driver cost
+    os.environ.setdefault("NIMBUS_ROUND_TIMING", "1")
     spark = _session(f"local[{CPUS}]")
     try:
         run_main_phase(spark)

@@ -46,6 +46,12 @@ class CrawlConfig:
     fetch_broadcast_max_rows: int = 500_000
     backoff_jitter: float = 0.0           # 0 ⇒ deterministic 2^retry seconds (backoff.go:11-15)
     max_links_per_page: int = 1024        # discovery_seq stride (SURVEY §4.3.3)
+    # politeness fast path: for round quanta at/above this, TRY the exact
+    # budgets-cannot-bind check (one partial-agg job) before the two-phase
+    # window rank — production-sized quanta (minutes of logical crawl time)
+    # almost never bind, so the rank's two shuffles are usually skippable.
+    # Small-quantum configs (tests, paced loops) stay on the rank path.
+    politeness_fastpath_min_round_ms: int = 60_000
 
     # --- scale knobs ---
     state_buckets: int = 32               # hash buckets for url_state partitioning

@@ -60,13 +60,43 @@ def politeness_select(
     salt_buckets: int = 1,
     round_capacity: int | None = None,
     key_col: str = "host",
+    try_fast_path: bool = False,
 ) -> DataFrame:
     """Token-bucket selection. Input needs columns
     (url, ``key_col``, depth, seq, next_free_ms, crawl_delay_ms); output adds
-    ``host_rank`` and ``t0_ms`` and contains only the admitted rows.
+    ``host_rank`` and ``t0_ms`` and contains only the admitted rows
+    (``host_rank`` is null on the fast path below — nothing downstream
+    consumes it; the clock advance needs only ``t0_ms`` + the taken count).
+
+    ``try_fast_path``: when budgets cannot bind — no host has more eligible
+    rows than its budget, the common case for production round quanta where
+    ``round_ms/delay`` ≫ per-host frontier — selection is the identity, so
+    one cheap partial-agg check job replaces BOTH window ranks (two
+    shuffles + sorts of the full candidate set). The check is exact
+    (per-host count vs per-host budget), so the fast path can never admit
+    a different set than the rank path; if any host binds, we fall through
+    to the rank. Callers with small round quanta (budgets bind nearly every
+    round) should leave it off — the check would just add a job.
     """
     budget, t0 = budget_cols(round_idx, round_ms)
     df = candidates.withColumn("_budget", budget).withColumn("t0_ms", t0)
+
+    if try_fast_path and round_capacity is None:
+        # budget is constant within a host (it derives from next_free_ms /
+        # crawl_delay_ms, both per-host), so min() is THE budget
+        binding = (
+            df.groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("_n"), F.min("_budget").alias("_b"))
+            .where(F.col("_n") > F.col("_b"))
+            .limit(1)
+            .count()
+        )
+        if binding == 0:
+            return (
+                df.where(F.col("_budget") > 0)
+                .withColumn("host_rank", F.lit(None).cast("int"))
+                .drop("_budget")
+            )
 
     if salt_buckets > 1:
         # Phase 1: bound the per-task sort for Zipf-hot hosts. Each salt keeps

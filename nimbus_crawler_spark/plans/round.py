@@ -214,7 +214,7 @@ def run_round(
     _tick("domains")
 
     # --- robots gate (F5) ---------------------------------------------------
-    cand = eligible.join(
+    base = eligible.join(
         F.broadcast(
             domains_all.select(
                 F.col("host").alias("pkey"),
@@ -226,12 +226,9 @@ def run_round(
         "pkey",
     )
     if cfg.respect_robots_txt:
-        cand = cand.withColumn("_allowed", robots_allowed_udf("robots_body", "url"))
+        allowed = base.where(robots_allowed_udf("robots_body", "url"))
     else:
-        cand = cand.withColumn("_allowed", F.lit(True))
-
-    denied = cand.where(~F.col("_allowed"))
-    allowed = cand.where(F.col("_allowed"))
+        allowed = base
 
     # --- politeness token bucket (O1/O2) ------------------------------------
     selected = politeness_select(
@@ -241,9 +238,26 @@ def run_round(
         salt_buckets=cfg.host_salt_buckets,
         round_capacity=cfg.round_capacity,
         key_col="pkey",
+        try_fast_path=cfg.round_ms >= cfg.politeness_fastpath_min_round_ms,
     )
     selected = _mat(selected)  # feeds clock, fetch, flags, and the failure anti-join
     _tick("select")
+
+    # Robots-denied rows, evaluated on the REMAINDER only: every selected row
+    # already passed the gate, so the denied set lives entirely in
+    # base − selected — the pandas UDF (whose Arrow transfer ships a robots
+    # BODY per row) re-runs over that small remainder instead of the full
+    # eligible set inside the delta-write job. Politeness-deferred rows in
+    # the remainder pass robots and drop out of the filter — exactly the
+    # previous semantics (they stay in the frontier, no upsert).
+    sel_urls = selected.select("url")
+    if frontier_pending <= cfg.fetch_broadcast_max_rows:
+        sel_urls = F.broadcast(sel_urls)  # base carries robots BODIES — don't shuffle it
+    rest = base.join(sel_urls, "url", "left_anti")
+    if cfg.respect_robots_txt:
+        denied = rest.where(~robots_allowed_udf("robots_body", "url"))
+    else:
+        denied = rest.where(F.lit(False))
 
     clock = advance_clock(selected, key_col="pkey")
 
@@ -317,7 +331,6 @@ def run_round(
         "_retry", F.col("retry_count") + 1
     )
 
-    dup_rows = hashed.where(F.col("dup_content"))
     parsed = hashed.where(~F.col("dup_content"))
 
     # --- children (F10/F11/F12, D2, J1) -------------------------------------
@@ -398,22 +411,18 @@ def run_round(
             F.lit(r) + _backoff_rounds_expr(F.col("_retry"), cfg)
         ).cast("long"),
     )
-    # dup pages: reference stores only status + html link (parser.go:123;
-    # content_hash is persisted solely by UpdateURLParsed) — hash stays null.
-    upd_dup = as_state(
-        dup_rows,
-        status=F.lit("skipped"),
+    # ONE pass over the cached fetch output for both outcomes (the former
+    # dup/parsed branch pair made the delta-write job deserialize the
+    # text+links-bearing ok_rows cache twice). Dup pages: reference stores
+    # only status + html link (parser.go:123; content_hash is persisted
+    # solely by UpdateURLParsed) — hash and text_key stay null.
+    dup = F.col("dup_content")
+    upd_ok = as_state(
+        hashed,
+        status=F.when(dup, F.lit("skipped")).otherwise(F.lit("parsed")),
+        content_hash=F.when(dup, F.lit(None).cast("string")).otherwise(F.col("content_hash")),
         html_key=F.col("html_key"),
-        content_hash=F.lit(None).cast("string"),
-        # dup pages' text is never stored (UpdateURLStatus only, parser.go:123)
-        text_key=F.lit(None).cast("string"),
-    )
-    upd_parsed = as_state(
-        parsed,
-        status=F.lit("parsed"),
-        content_hash=F.col("content_hash"),
-        html_key=F.col("html_key"),
-        text_key=F.col("text_key"),
+        text_key=F.when(dup, F.lit(None).cast("string")).otherwise(F.col("text_key")),
     )
 
     # Bucket-partial MERGE: the round ships only its upserts (touched rows +
@@ -422,8 +431,7 @@ def run_round(
     # O(round footprint), not O(total state).
     upserts = (
         upd_denied.unionByName(upd_failed)
-        .unionByName(upd_dup)
-        .unionByName(upd_parsed)
+        .unionByName(upd_ok)
         .unionByName(children)
         .select(*_STATE_COLS)
     )
@@ -443,29 +451,21 @@ def run_round(
     )
 
     # --- outputs -------------------------------------------------------------
-    results = (
-        hashed.withColumn("text", F.lit(None).cast("string"))
-        .withColumn("text_key", F.lit(None).cast("string"))
-        .withColumn("n_links", F.lit(None).cast("int"))
-        .where(F.col("dup_content"))
-        .unionByName(
-            parsed.withColumn("n_links", F.coalesce(F.size("links"), F.lit(0))),
-            allowMissingColumns=True,
-        )
-        .select(
-            F.lit(r).cast("long").alias("round"),
-            F.col("crawl_seq"),
-            "url",
-            "depth",
-            "host",
-            "content_hash",
-            "html_key",
-            "dup_content",
-            "text",
-            "text_key",
-            "n_links",
-            F.col("html_bytes"),
-        )
+    # single pass over the cached fetch output (dup rows just null out the
+    # text columns in place — no second union branch re-reading the cache)
+    results = hashed.select(
+        F.lit(r).cast("long").alias("round"),
+        F.col("crawl_seq"),
+        "url",
+        "depth",
+        "host",
+        "content_hash",
+        "html_key",
+        "dup_content",
+        F.when(~dup, F.col("text")).alias("text"),
+        F.when(~dup, F.col("text_key")).alias("text_key"),
+        F.when(~dup, F.coalesce(F.size("links"), F.lit(0))).alias("n_links"),
+        F.col("html_bytes"),
     )
 
     quarantine = failed_rows.where(F.col("_retry") >= cfg.max_retries).select(

@@ -54,3 +54,63 @@ def test_advancing_sequence_is_sliding_window():
     # 1-per-300ms sliding window from t=0: 0,300,...,2700
     assert times == [t * 300 for t in range(len(times))]
     assert all(b - a >= 300 for a, b in zip(times, times[1:]))
+
+
+class TestFastPath:
+    """politeness_select(try_fast_path=True) must be selection-identical to
+    the rank path whenever it activates, and must fall through to the rank
+    when any host's budget binds."""
+
+    def _cands(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "url string, host string, depth int, seq long, next_free_ms long, crawl_delay_ms int"
+        )
+
+    def test_identity_when_budgets_do_not_bind(self, spark):
+        from nimbus_crawler_spark.operators.politeness import politeness_select
+
+        rows = [
+            (f"u{h}-{i}", f"h{h}", i % 3, h * 100 + i, 0, 200)
+            for h in range(5)
+            for i in range(4)
+        ]
+        # round_ms=3_600_000 / delay 200 => budget 18000 >> 4 rows/host
+        fast = politeness_select(
+            self._cands(spark, rows), 0, 3_600_000, salt_buckets=4, try_fast_path=True
+        )
+        slow = politeness_select(
+            self._cands(spark, rows), 0, 3_600_000, salt_buckets=4, try_fast_path=False
+        )
+        f = {(r["url"], r["t0_ms"]) for r in fast.collect()}
+        s = {(r["url"], r["t0_ms"]) for r in slow.collect()}
+        assert f == s and len(f) == len(rows)
+        assert all(r["host_rank"] is None for r in fast.collect())
+
+    def test_falls_through_when_any_host_binds(self, spark):
+        from nimbus_crawler_spark.operators.politeness import politeness_select
+
+        # round_ms 1000 / delay 400 => budget 3; host h0 has 5 rows (binds)
+        rows = [(f"a{i}", "h0", 0, i, 0, 400) for i in range(5)] + [
+            (f"b{i}", "h1", 0, i, 0, 400) for i in range(2)
+        ]
+        fast = politeness_select(
+            self._cands(spark, rows), 0, 1000, salt_buckets=4, try_fast_path=True
+        )
+        slow = politeness_select(
+            self._cands(spark, rows), 0, 1000, salt_buckets=4, try_fast_path=False
+        )
+        f = sorted((r["url"], r["host_rank"]) for r in fast.collect())
+        s = sorted((r["url"], r["host_rank"]) for r in slow.collect())
+        assert f == s
+        assert len(f) == 5  # 3 from h0 (budget-bound) + 2 from h1
+        assert all(hr is not None for _u, hr in f)  # rank path ran
+
+    def test_zero_budget_host_admits_nothing(self, spark):
+        from nimbus_crawler_spark.operators.politeness import politeness_select
+
+        # h0's clock is beyond the whole round => budget 0; h1 free
+        rows = [("a0", "h0", 0, 0, 5_000_000_000, 200), ("b0", "h1", 0, 0, 0, 200)]
+        fast = politeness_select(
+            self._cands(spark, rows), 0, 3_600_000, salt_buckets=4, try_fast_path=True
+        )
+        assert [r["url"] for r in fast.collect()] == ["b0"]
