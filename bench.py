@@ -9,9 +9,11 @@ Prints ONE JSON line:
    "sf": ..., "crawl": {...}, "mega_round": {...}, "scaling": {...}}
 
 Budget discipline (the round-3 lesson): EVERY phase deadline derives from ONE
-total wall budget (NIMBUS_BENCH_TOTAL_WALL, default 1450 s — the last
+total wall budget (NIMBUS_BENCH_TOTAL_WALL, default 1500 s — the last
 completed-and-recorded driver run took 1497 s, so the driver's cap is known
-to be at least ~1500; staying under it by construction). The harness is also
+to be at least ~1500; and because a SIGTERM from a tighter external cap
+still prints the partial record, overshooting the unknown cap degrades to
+a partial JSON, never to nothing). The harness is also
 crash-proof: the output dict is filled INCREMENTALLY and printed by a
 SIGTERM/SIGINT/SIGALRM handler (plus a normal-path finalize), so a wall-cap
 kill still records every completed query, the crawl loop, the mega round,
@@ -99,7 +101,7 @@ SCALE_DOM = int(os.environ.get("NIMBUS_BENCH_SCALE_DOM", "200"))
 # one total wall budget; crash-proof incremental output
 # ---------------------------------------------------------------------------
 
-TOTAL_WALL = float(os.environ.get("NIMBUS_BENCH_TOTAL_WALL", "1450"))
+TOTAL_WALL = float(os.environ.get("NIMBUS_BENCH_TOTAL_WALL", "1500"))
 RESERVE = 40.0  # tail reserve: finalize + JSON print + interpreter teardown
 T0 = time.monotonic()
 
@@ -308,6 +310,16 @@ def run_scaling_phase() -> None:
     samples: list = []
     gate_log: list = []
     skipped: list = []
+    # live references into OUT from the phase start: a kill at ANY moment
+    # (even before both levels have a sample — dress rehearsal 2 lost a
+    # completed high rep exactly that way) then still records every
+    # completed sample and gate probe; replaced by the full scaling block
+    # once both levels have data
+    OUT["scaling_probe"] = {
+        "samples": samples,
+        "quiet_gate_rates": gate_log,
+        "skipped_reps": skipped,
+    }
     env = {**os.environ, "PYTHONPATH": os.path.dirname(os.path.abspath(__file__))}
     if CPUS < SCALE_HIGH + 1:
         # not enough host CPUs to grant BOTH levels the +1 shared driver
@@ -376,9 +388,9 @@ def run_scaling_phase() -> None:
                 f"{quiet_thresh}/s AND probe bw ≥ {bw_thresh} GB/s, wait "
                 f"≤{gate_wait_max:.0f}s; sample valid iff during-run steal "
                 f"≤ {valid_steal}/s AND pre/post bw probes ≥ {bw_thresh} "
-                f"GB/s; schedule H,L,H,H,L; invalid/crashed high reps "
-                f"retried immediately, low reps only from leftover budget "
-                f"when no valid low sample exists; retries unused: "
+                f"GB/s; base schedule H,L,H,H,L with no inline retries, "
+                f"then a retry pass: high until {reps_high} valid or budget "
+                f"out, low only if no valid low sample; retries unused: "
                 f"low {retries[SCALE_LOW]} high {retries[SCALE_HIGH]})"
             ),
             "quiet_gate_rates": gate_log,
@@ -465,14 +477,16 @@ def run_scaling_phase() -> None:
 
     def median_run(rs: list) -> dict:
         # median over environment-valid samples; if contamination never
-        # cleared, fall back to all samples (recorded as such)
-        pool = [r for r in rs if r.get("_valid")] or rs
+        # cleared, fall back to all samples (flagged, never silent)
+        valid = [r for r in rs if r.get("_valid")]
+        pool = valid or rs
         med = statistics.median(r["urls_per_sec"] for r in pool)
         # report the sample closest to the median (the median IS a
         # sample for odd rep counts)
         return min(pool, key=lambda r: abs(r["urls_per_sec"] - med)) | {
             "urls_per_sec_median": round(med, 1),
             "median_over_valid": len(pool),
+            "fallback_all_samples": not valid,
         }
 
     def fits(m: int) -> bool:
@@ -485,6 +499,15 @@ def run_scaling_phase() -> None:
     # Highs are also 3× cheaper, so when the budget runs short the trailing
     # LOW rep is the one skipped. The first (cheap) high rep guarantees an
     # early sample at that level whatever happens later.
+    # Base schedule first, NO inline retries: under a sustained contention
+    # storm (dress rehearsal 3: 25 straight minutes of 10-126 jiffies/s
+    # steal) inline retries burned 800 s re-running one hopeless high rep
+    # and the low level never ran at all — no efficiency number. Securing
+    # one sample per level FIRST guarantees an efficiency record (flagged
+    # all-invalid in the worst weather); the retry pass then backfills
+    # validity from the bounded budgets. Retries depend only on validity
+    # flags (host counters), never on measured values — no optional
+    # stopping.
     schedule = [(SCALE_HIGH, 0)]
     if reps_low > 0:
         schedule.append((SCALE_LOW, 0))
@@ -494,31 +517,24 @@ def run_scaling_phase() -> None:
         if runs[m] and not fits(m):
             skipped.append({"cores": m, "rep": rep, "reason": "budget"})
             continue  # budget exhausted; keep ≥1 attempted sample per level
-        status = one_run(m, rep)
-        # immediate retry only for the noise-sensitive HIGH level. A
-        # contaminated LOW sample can only bias efficiency UP (steal slows
-        # it, shrinking the denominator), so low retries are deferred: they
-        # run from leftover budget only if NO valid low sample exists —
-        # round 4's dress rehearsal spent 353 s on an immediate low retry
-        # and then had to budget-skip the third high rep.
-        while m == SCALE_HIGH and status != "valid" and retries[m] > 0 and fits(m):
-            retries[m] -= 1
-            status = one_run(m, rep)
-    while (
-        not any(r.get("_valid") for r in runs[SCALE_LOW])
-        and retries[SCALE_LOW] > 0
-        and fits(SCALE_LOW)
-    ):
+        one_run(m, rep)
+    # Retry pass — high level first (its median drives the efficiency and
+    # valid 8-core samples have been observed 48% apart); the low level
+    # retries only if it has NO valid sample (a contaminated low sample can
+    # only bias efficiency UP, so discarding it is conservative and its
+    # re-run must never crowd out a high rep).
+    def n_valid(m: int) -> int:
+        return sum(1 for r in runs[m] if r.get("_valid"))
+
+    while n_valid(SCALE_HIGH) < reps_high and retries[SCALE_HIGH] > 0 and fits(SCALE_HIGH):
+        retries[SCALE_HIGH] -= 1
+        one_run(SCALE_HIGH, len(runs[SCALE_HIGH]))
+    while n_valid(SCALE_LOW) == 0 and retries[SCALE_LOW] > 0 and fits(SCALE_LOW):
         retries[SCALE_LOW] -= 1
         one_run(SCALE_LOW, len(runs[SCALE_LOW]))
     update_scaling(partial=False)
-    if "scaling" not in OUT and samples:
-        # one level never produced a sample — still record the evidence
-        OUT["scaling_incomplete"] = {
-            "samples": samples,
-            "quiet_gate_rates": gate_log,
-            "skipped_reps": skipped,
-        }
+    if "scaling" in OUT:
+        OUT.pop("scaling_probe", None)  # superseded — same lists live inside
 
 
 def main() -> None:

@@ -240,7 +240,14 @@ def run_round(
         key_col="pkey",
         try_fast_path=cfg.round_ms >= cfg.politeness_fastpath_min_round_ms,
     )
-    selected = _mat(selected)  # feeds clock, fetch, flags, and the failure anti-join
+    # Drop the politeness inputs nothing downstream reads BEFORE the
+    # materialization barrier: robots_body is ~KB per row, so keeping it
+    # would (a) multiply the localCheckpoint size ~10× and (b) ship the
+    # bodies inside the fetch join's broadcast hash relation — ~300 MB
+    # instead of ~35 MB at a 175k-row mega round. The clock advance needs
+    # only (pkey, t0_ms, crawl_delay_ms); the domain clock copy
+    # (next_free_ms) lives on in domains_all.
+    selected = _mat(selected.drop("robots_body", "next_free_ms", "host_rank"))
     _tick("select")
 
     # Robots-denied rows, evaluated on the REMAINDER only: every selected row
