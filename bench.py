@@ -256,13 +256,14 @@ def run_scaling_phase() -> None:
     an endless gate would just burn the budget sleeping (the round-3
     failure mode). A sample is VALID iff its during-run steal ≤ valid_steal
     AND the bandwidth probes bracketing it (pre + post) both clear
-    bw_thresh. Invalid OR CRASHED reps re-run from bounded per-level retry
-    budgets (a crashed subprocess consumes a retry and is recorded in the
-    samples log — never silently dropped); HIGH retries run immediately,
-    LOW retries are deferred to leftover budget and run only if no valid
-    low sample exists — a contaminated low sample can only bias efficiency
-    UP, so discarding it is conservative and its re-run must never crowd
-    out a high rep. Rep allocation is noise-weighted:
+    bw_thresh. The base schedule runs with NO inline retries (securing one
+    sample per level first, so an efficiency record always exists); a retry
+    pass then backfills validity from bounded per-level budgets (a crashed
+    subprocess consumes a retry and is recorded in the samples log — never
+    silently dropped): HIGH re-runs until all its reps are valid, LOW only
+    if no valid low sample exists — a contaminated low sample can only bias
+    efficiency UP, so discarding it is conservative and its re-run must
+    never crowd out a high rep. Rep allocation is noise-weighted:
     high ×3, low ×2 (the insensitive level needs fewer reps), schedule
     H,L,H,H,L — the cheap high reps get budget priority because the high
     MEDIAN drives the efficiency and an even-count median averages in
