@@ -263,6 +263,18 @@ def _q_quality(spark, sf_dir):
     return quality_metrics(_t(spark, sf_dir, "documents"))
 
 
+def _q_repetition(spark, sf_dir):
+    from nimbus_crawler_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def _q_curation(spark, sf_dir):
+    from nimbus_crawler_spark.operators.textstats import curation_pipeline
+
+    return curation_pipeline(_t(spark, sf_dir, "documents"))
+
+
 # --- similarity family ---
 
 def _emb(spark, sf_dir):
@@ -539,6 +551,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "lang_id": _q_lang_id,
         "quality": _q_quality,
+        "repetition": _q_repetition,
+        "curation": _q_curation,
         # similarity
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_bucketed": _q_ann_bucketed,
@@ -873,6 +887,75 @@ SELECT doc_id, n_tokens, n_chars_m,
         + least(floor((CASE WHEN n_tokens > 0 THEN CAST(n_distinct AS DOUBLE) / n_tokens ELSE 0 END) * 10000 + 0.5) / 10000 * 2, 1.0) * 0.2
         + least(stopword_hits / 5.0, 1.0) * 0.2) * 10000 + 0.5) / 10000 AS quality_score
 FROM m
+""",
+        "repetition": r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+  FROM documents),
+g1 AS (SELECT doc_id, unnest(tk) AS g FROM toks),
+g2 AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g
+       FROM toks, unnest(range(1, greatest(len(tk), 1))) AS r(i) WHERE len(tk) >= 2),
+g3 AS (SELECT doc_id, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS g
+       FROM toks, unnest(range(1, greatest(len(tk) - 1, 1))) AS r(i) WHERE len(tk) >= 3),
+a1 AS (SELECT doc_id, sum(c) AS n, max(c) AS top, count(*) AS d
+       FROM (SELECT doc_id, g, count(*) AS c FROM g1 GROUP BY doc_id, g) GROUP BY doc_id),
+a2 AS (SELECT doc_id, sum(c) AS n, max(c) AS top, count(*) AS d
+       FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g) GROUP BY doc_id),
+a3 AS (SELECT doc_id, sum(c) AS n, max(c) AS top, count(*) AS d
+       FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g) GROUP BY doc_id)
+SELECT t.doc_id, len(t.tk) AS n_tokens,
+  floor((CASE WHEN coalesce(a1.n, 0) > 0 THEN CAST(a1.top AS DOUBLE) / a1.n ELSE 0 END) * 10000 + 0.5) / 10000 AS top_unigram_frac,
+  floor((CASE WHEN coalesce(a2.n, 0) > 0 THEN CAST(a2.top AS DOUBLE) / a2.n ELSE 0 END) * 10000 + 0.5) / 10000 AS top_bigram_frac,
+  floor((CASE WHEN coalesce(a2.n, 0) > 0 THEN CAST(a2.n - a2.d AS DOUBLE) / a2.n ELSE 0 END) * 10000 + 0.5) / 10000 AS dup_bigram_frac,
+  floor((CASE WHEN coalesce(a3.n, 0) > 0 THEN CAST(a3.top AS DOUBLE) / a3.n ELSE 0 END) * 10000 + 0.5) / 10000 AS top_trigram_frac,
+  floor((CASE WHEN coalesce(a3.n, 0) > 0 THEN CAST(a3.n - a3.d AS DOUBLE) / a3.n ELSE 0 END) * 10000 + 0.5) / 10000 AS dup_trigram_frac
+FROM toks t
+LEFT JOIN a1 USING (doc_id) LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+""",
+        "curation": r"""
+WITH m AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS tk,
+    len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS n_tokens,
+    len(list_distinct(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''))) AS n_distinct,
+    length(text) AS n_chars_m,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+    len(regexp_extract_all(lower(text), '\bthe\b')) + len(regexp_extract_all(lower(text), '\band\b'))
+      + len(regexp_extract_all(lower(text), '\bof\b')) + len(regexp_extract_all(lower(text), '\bis\b'))
+      + len(regexp_extract_all(lower(text), '\bwith\b')) AS s_en,
+    len(regexp_extract_all(lower(text), '\bder\b')) + len(regexp_extract_all(lower(text), '\bund\b'))
+      + len(regexp_extract_all(lower(text), '\bdie\b')) + len(regexp_extract_all(lower(text), '\bist\b'))
+      + len(regexp_extract_all(lower(text), '\bmit\b')) AS s_de,
+    len(regexp_extract_all(lower(text), '\ble\b')) + len(regexp_extract_all(lower(text), '\bla\b'))
+      + len(regexp_extract_all(lower(text), '\bet\b')) + len(regexp_extract_all(lower(text), '\best\b'))
+      + len(regexp_extract_all(lower(text), '\bavec\b')) AS s_fr,
+    len(regexp_extract_all(lower(text), '\bel\b')) + len(regexp_extract_all(lower(text), '\blos\b'))
+      + len(regexp_extract_all(lower(text), '\bes\b')) + len(regexp_extract_all(lower(text), '\bcon\b'))
+      + len(regexp_extract_all(lower(text), '\buna\b')) AS s_es
+  FROM documents),
+g2 AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g
+       FROM m, unnest(range(1, greatest(len(tk), 1))) AS r(i) WHERE len(tk) >= 2),
+a2 AS (SELECT doc_id, sum(c) AS n, max(c) AS top
+       FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g) GROUP BY doc_id),
+f AS (
+  SELECT m.doc_id,
+    CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+         WHEN s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+         WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+         WHEN s_en >= s_de THEN 'en'
+         ELSE 'de' END AS pred_lang,
+    floor((least(n_tokens / 50.0, 1.0) * 0.3
+          + floor((CASE WHEN n_chars_m > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars_m ELSE 0 END) * 10000 + 0.5) / 10000 * 0.3
+          + least(floor((CASE WHEN n_tokens > 0 THEN CAST(n_distinct AS DOUBLE) / n_tokens ELSE 0 END) * 10000 + 0.5) / 10000 * 2, 1.0) * 0.2
+          + least(s_en / 5.0, 1.0) * 0.2) * 10000 + 0.5) / 10000 AS quality_score,
+    floor((CASE WHEN coalesce(a2.n, 0) > 0 THEN CAST(a2.top AS DOUBLE) / a2.n ELSE 0 END) * 10000 + 0.5) / 10000 AS top_bigram_frac,
+    md5(regexp_replace(lower(trim(m.text)), '\s+', ' ', 'g')) AS fingerprint
+  FROM m LEFT JOIN a2 USING (doc_id)),
+k AS (SELECT * FROM f
+      WHERE pred_lang = 'en' AND quality_score >= 0.55 AND top_bigram_frac <= 0.6)
+SELECT doc_id, pred_lang, quality_score, top_bigram_frac, fingerprint
+FROM (SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn FROM k)
+WHERE rn = 1
 """,
         "ann_cosine_topk": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "multimodal_raw_stats",
     "multimodal_decode",
     "quality",
+    "repetition",
+    "curation",
     "lang_id",
     "token_counts",
     "fingerprints",
@@ -367,7 +369,14 @@ def run_scaling_phase() -> None:
         gate_log.append([round(rate, 1), round(bw, 2)])
         return rate, bw
 
+    # parse probes count VALID probes only: a probe that ran inside a
+    # contaminated rep measures the storm, not the stage (dress rehearsal 5
+    # recorded parse_stage efficiency 0.195 from exactly that), so an
+    # invalid rep's probe is discarded and the next rep at that level probes
+    # again — bounded by a per-level attempt cap so storms can't make every
+    # rep pay the ~25 s probe cost forever
     parse_probes = {SCALE_LOW: 0, SCALE_HIGH: 0}
+    probe_attempts = {SCALE_LOW: 0, SCALE_HIGH: 0}
 
     def update_scaling(partial: bool) -> None:
         """(Re)compute the scaling block from samples so far — called after
@@ -416,10 +425,10 @@ def run_scaling_phase() -> None:
         """One pinned measurement; returns 'valid' | 'invalid' | 'crashed'."""
         global _CHILD
         pre_rate, pre_bw = quiet_gate(remaining() - est[m] - RESERVE)
-        # the parse-stage probe costs ~25 s per low-level run: probe once
-        # per level, then stop paying for it
-        with_parse = parse_probes[m] < 1
-        parse_probes[m] += 1 if with_parse else 0
+        # the parse-stage probe costs ~25 s per low-level run: probe until
+        # one probe lands inside a VALID rep (≤3 attempts), then stop
+        with_parse = parse_probes[m] < 1 and probe_attempts[m] < 3
+        probe_attempts[m] += 1 if with_parse else 0
         renv = {**env, "NIMBUS_SCALE_PARSE": "1" if with_parse else "0"}
         t_rep = time.monotonic()
         proc = subprocess.Popen(
@@ -471,7 +480,9 @@ def run_scaling_phase() -> None:
             }
         )
         runs[m].append(r)
-        if p and (m not in ps or p["pages_per_sec"] > ps[m]["pages_per_sec"]):
+        if with_parse and valid:
+            parse_probes[m] += 1
+        if p and valid and (m not in ps or p["pages_per_sec"] > ps[m]["pages_per_sec"]):
             ps[m] = p
         update_scaling(partial=True)
         return "valid" if valid else "invalid"

@@ -11,8 +11,10 @@ UDF, without shipping model weights.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from nimbus_crawler_spark.operators.textdedup import shingles
 
 
 def round_half_up(col: Column, k: int) -> Column:
@@ -64,16 +66,29 @@ def lang_scores(text: Column) -> dict[str, Column]:
     }
 
 
-def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, pred_lang, lang_score): argmax of marker-word hit counts,
-    'und' (undetermined) when no marker hits; ties broken alphabetically."""
-    scores = lang_scores(F.col(text_col))
+def _lang_best(text: Column) -> Column:
+    """struct(score, lang) of the winning marker language (argmax, ties
+    broken by the LAST lang alphabetically per array_max struct ordering —
+    the documented lang_id tie rule)."""
+    scores = lang_scores(text)
     pairs = F.array(
         *[F.struct(F.lit(lang).alias("lang"), c.alias("score")) for lang, c in sorted(scores.items())]
     )
-    best = F.array_max(
+    return F.array_max(
         F.transform(pairs, lambda p: F.struct(p["score"].alias("score"), p["lang"].alias("lang")))
     )
+
+
+def lang_pred_col(text: Column) -> Column:
+    """Predicted language: argmax marker lang, 'und' when no marker hits."""
+    best = _lang_best(text)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, pred_lang, lang_score): argmax of marker-word hit counts,
+    'und' (undetermined) when no marker hits; ties broken alphabetically."""
+    best = _lang_best(F.col(text_col))
     return docs.select(
         id_col,
         F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias("pred_lang"),
@@ -81,14 +96,9 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     )
 
 
-def quality_metrics(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Per-document quality features + composite score ∈ [0,1].
-
-    Features mirror standard web-text filters (C4/Gopher-style):
-    length, mean word length, alpha ratio, punctuation density,
-    stopword presence, repetition (distinct/total token ratio).
-    """
-    t = F.col(text_col)
+def _quality_feature_cols(t: Column) -> dict[str, Column]:
+    """The rounded quality feature expressions, shared by ``quality_metrics``
+    and ``curation_pipeline`` (which fuses them into one scan projection)."""
     n_tok = token_count(t)
     toks = F.filter(F.split(F.lower(F.trim(t)), r"\s+"), lambda x: x != "")
     n_distinct = F.size(F.array_distinct(toks))
@@ -98,25 +108,44 @@ def quality_metrics(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
     stop_hits = sum(
         (_count_occurrences(F.lower(t), w) for w in _LANG_MARKERS["en"]), F.lit(0)
     )
-    out = docs.select(
-        id_col,
-        n_tok.alias("n_tokens"),
-        n_chars.alias("n_chars_m"),
-        round_half_up(F.when(n_tok > 0, n_chars / n_tok).otherwise(0.0), 4).alias("mean_tok_len"),
-        round_half_up(F.when(n_chars > 0, n_alpha / n_chars).otherwise(0.0), 4).alias("alpha_ratio"),
-        round_half_up(F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0), 4).alias("punct_ratio"),
-        round_half_up(F.when(n_tok > 0, n_distinct / n_tok).otherwise(0.0), 4).alias("distinct_ratio"),
-        stop_hits.alias("stopword_hits"),
-    )
+    return {
+        "n_tokens": n_tok,
+        "n_chars_m": n_chars,
+        "mean_tok_len": round_half_up(F.when(n_tok > 0, n_chars / n_tok).otherwise(0.0), 4),
+        "alpha_ratio": round_half_up(F.when(n_chars > 0, n_alpha / n_chars).otherwise(0.0), 4),
+        "punct_ratio": round_half_up(F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0), 4),
+        "distinct_ratio": round_half_up(F.when(n_tok > 0, n_distinct / n_tok).otherwise(0.0), 4),
+        "stopword_hits": stop_hits,
+    }
+
+
+def quality_score_col(feats: dict[str, Column]) -> Column:
+    """Composite score ∈ [0,1] from ``_quality_feature_cols`` output (uses the
+    ROUNDED alpha/distinct ratios, matching the SQL oracle), HALF_UP 4 dp."""
     score = (
-        F.least(F.col("n_tokens") / 50.0, F.lit(1.0)) * 0.3
-        + F.col("alpha_ratio") * 0.3
-        + F.least(F.col("distinct_ratio") * 2, F.lit(1.0)) * 0.2
-        + F.least(F.col("stopword_hits") / 5.0, F.lit(1.0)) * 0.2
+        F.least(feats["n_tokens"] / 50.0, F.lit(1.0)) * 0.3
+        + feats["alpha_ratio"] * 0.3
+        + F.least(feats["distinct_ratio"] * 2, F.lit(1.0)) * 0.2
+        + F.least(feats["stopword_hits"] / 5.0, F.lit(1.0)) * 0.2
     )
     # explicit half-up via floor: identical across engines (Spark round() is
     # HALF_UP, DuckDB round() is banker's — they disagree at .5 boundaries)
-    return out.withColumn("quality_score", F.floor(score * 10000 + F.lit(0.5)) / 10000)
+    return F.floor(score * 10000 + F.lit(0.5)) / 10000
+
+
+def quality_metrics(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document quality features + composite score ∈ [0,1].
+
+    Features mirror standard web-text filters (C4/Gopher-style):
+    length, mean word length, alpha ratio, punctuation density,
+    stopword presence, repetition (distinct/total token ratio).
+    """
+    feats = _quality_feature_cols(F.col(text_col))
+    return docs.select(
+        id_col,
+        *[c.alias(k) for k, c in feats.items()],
+        quality_score_col(feats).alias("quality_score"),
+    )
 
 
 def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -130,3 +159,102 @@ def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 
 def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     return docs.select(id_col, doc_fingerprint(F.col(text_col)).alias("fingerprint"))
+
+
+def _top_run_count(arr: Column) -> Column:
+    """Highest multiplicity of any element in ``arr`` (0 for empty), computed
+    per row with NO shuffle: sort the array, then one ``aggregate`` pass
+    counting the longest run of equal adjacent elements. At 100 TB this keeps
+    the most-common-n-gram statistic inside whole-stage codegen — the
+    explode → groupBy(doc, gram) → max alternative shuffles every n-gram
+    occurrence of the corpus."""
+    s = F.sort_array(arr)
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def merge(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(s, acc0, merge, lambda acc: acc["best"])
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals for web-text quality filtering
+    (Rae et al. 2021 §A1.1; also used by C4/RefinedWeb): the share of the
+    document taken by its most common 1/2/3-gram and the fraction of
+    duplicated 2/3-gram occurrences. High values mark boilerplate, keyword
+    stuffing, and template spam — standard pre-training drop criteria.
+
+    Token-count based (the char-based variant differs only by a weight),
+    over lowercased whitespace tokens. All per-row JVM expressions — no
+    shuffle, no UDF; fracs are HALF_UP-rounded to 4 dp for engine ≡ oracle
+    comparison."""
+    t = F.col(text_col)
+    toks = F.filter(F.split(F.lower(F.trim(t)), r"\s+"), lambda x: x != "")
+
+    def frac(num: Column, den: Column) -> Column:
+        return round_half_up(F.when(den > 0, num / den).otherwise(F.lit(0.0)), 4)
+
+    out = docs.select(
+        id_col,
+        F.size(toks).alias("n_tokens"),
+        *[shingles(t, n).alias(f"_g{n}") for n in (1, 2, 3)],
+    )
+    for n, name in ((1, "unigram"), (2, "bigram"), (3, "trigram")):
+        g = F.col(f"_g{n}")
+        out = out.withColumn(f"top_{name}_frac", frac(_top_run_count(g), F.size(g)))
+        if n > 1:
+            out = out.withColumn(
+                f"dup_{name}_frac",
+                frac(F.size(g) - F.size(F.array_distinct(g)), F.size(g)),
+            )
+    return out.drop("_g1", "_g2", "_g3")
+
+
+def curation_pipeline(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang: str = "en",
+    min_quality: float = 0.55,
+    max_top_bigram_frac: float = 0.6,
+) -> DataFrame:
+    """End-to-end training-data curation in TWO jobs total: language gate +
+    quality gate + repetition gate + exact-dedup first-wins.
+
+    Scale design: every feature (language argmax, quality score, top-bigram
+    fraction, normalization fingerprint) is computed in ONE scan projection —
+    no per-feature self-joins (a naive compose of lang_id ⋈ quality ⋈
+    repetition rescans the corpus text 3× and shuffles it twice). The only
+    shuffle is the final first-wins dedup, which moves the FILTERED survivor
+    rows keyed by md5 fingerprint (uniform, skew-free). Filters run before
+    the shuffle, so the exchange carries only kept docs.
+    """
+    t = F.col(text_col)
+    feats = _quality_feature_cols(t)
+    g2 = shingles(t, 2)
+
+    def frac(num: Column, den: Column) -> Column:
+        return round_half_up(F.when(den > 0, num / den).otherwise(F.lit(0.0)), 4)
+
+    scored = docs.select(
+        id_col,
+        lang_pred_col(t).alias("pred_lang"),
+        quality_score_col(feats).alias("quality_score"),
+        frac(_top_run_count(g2), F.size(g2)).alias("top_bigram_frac"),
+        doc_fingerprint(t).alias("fingerprint"),
+    ).where(
+        (F.col("pred_lang") == lang)
+        & (F.col("quality_score") >= min_quality)
+        & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+    )
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

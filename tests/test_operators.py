@@ -181,6 +181,61 @@ class TestTextstats:
         assert got[5]["n_tokens"] == 0 and got[5]["quality_score"] == 0.0
         assert got[0]["quality_score"] > 0.3
 
+    def test_repetition_stats(self, spark):
+        from collections import Counter
+
+        from nimbus_crawler_spark.operators.textstats import repetition_stats
+
+        rows = [
+            (0, "a a a b"),          # top unigram 3/4; bigrams: (a a)x2, (a b)
+            (1, "x y x y x y"),      # heavy bigram repetition
+            (2, "all distinct words here"),
+            (3, "solo"),             # 1 token: no bigrams/trigrams
+            (4, ""),                 # empty
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+
+        def oracle(text):
+            toks = [t for t in text.lower().split() if t]
+            out = {"n_tokens": len(toks)}
+            for n, name in ((1, "unigram"), (2, "bigram"), (3, "trigram")):
+                grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+                c = Counter(grams)
+                tot = len(grams)
+                rnd = lambda x: math.floor(x * 10000 + 0.5) / 10000
+                out[f"top_{name}_frac"] = rnd(max(c.values()) / tot) if tot else 0.0
+                if n > 1:
+                    out[f"dup_{name}_frac"] = rnd((tot - len(c)) / tot) if tot else 0.0
+            return out
+
+        for doc_id, text in rows:
+            exp = oracle(text)
+            for k, v in exp.items():
+                assert got[doc_id][k] == v, (doc_id, k, got[doc_id][k], v)
+        assert got[0]["top_unigram_frac"] == 0.75
+        assert got[1]["dup_bigram_frac"] == 0.6  # 5 bigrams, 2 distinct
+        assert got[3]["top_bigram_frac"] == 0.0
+
+    def test_curation_pipeline(self, spark):
+        from nimbus_crawler_spark.operators.textstats import curation_pipeline
+
+        good = (
+            "the quick brown fox jumps over the lazy dog and runs off with "
+            "a fine bone while the happy farmer is watching from the porch"
+        )
+        rows = [
+            (0, good),                                   # kept
+            (1, good),                                   # exact dup of 0 → dropped
+            (2, "der hund und die katze ist mit mir"),   # wrong lang → dropped
+            (3, " ".join(["the"] * 20)),                 # en + quality ok, top-bigram frac 1.0 → dropped
+            (4, ""),                                     # quality 0 → dropped
+            (5, good + " again"),                        # kept (distinct fingerprint)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = sorted(r["doc_id"] for r in curation_pipeline(df).collect())
+        assert got == [0, 5]
+
 
 class TestMultimodal:
     def test_feature_plumbing(self, spark, docs):
