@@ -151,8 +151,22 @@ signal.alarm(max(int(TOTAL_WALL - RESERVE / 2), 60))
 
 
 def _force(df) -> int:
-    """Execute the full plan; cheap count of the materialized result."""
-    return df.count()
+    """Execute the full plan INCLUDING every output column.
+
+    A bare ``df.count()`` lets Catalyst prune unreferenced columns, so for
+    pure-projection queries (quality, lang_id, repetition, fingerprints, …)
+    it timed only the parquet scan — the expressions never ran (discovered
+    round 4: 'quality' measured 0.2 s pruned vs ~1 s real). Hashing all
+    columns into one JVM-side aggregate forces evaluation with negligible
+    overhead and no driver-side data movement."""
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        # bit_xor, not sum: sum(hash) overflows long under ANSI mode
+        F.bit_xor(F.xxhash64(*df.columns)).alias("h"),
+    ).collect()[0]
+    return row["n"]
 
 
 def _bench_tmpdir(prefix: str) -> str:

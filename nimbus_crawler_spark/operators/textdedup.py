@@ -73,15 +73,25 @@ def _tokens(text: Column) -> Column:
 def shingles(text: Column, n: int = 3) -> Column:
     """n-token shingles in document order (may repeat). Documents shorter
     than n tokens yield an empty array (guarded: Spark's ``sequence(1, k)``
-    with k < 1 would generate a *descending* sequence)."""
-    toks = _tokens(text)
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    return F.when(F.size(toks) >= n, F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + k).cast("int")) for k in range(n)]
-        ),
-    )).otherwise(F.array().cast("array<string>"))
+    with k < 1 would generate a *descending* sequence).
+
+    The token array is bound ONCE as a lambda variable via the outer
+    single-element ``transform`` before any ``element_at`` indexes it.
+    Referencing the raw ``_tokens(text)`` subtree inside the inner lambda
+    instead makes Catalyst re-evaluate the whole split+filter per
+    ``element_at`` call — O(tokens²) per document, measured 14-24× slower
+    on the sf0.1 corpus (8.4 s → 0.6 s to build bigrams for 5k docs)."""
+
+    def build(tk: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(tk) - (n - 1))
+        return F.when(F.size(tk) >= n, F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tk, (i + k).cast("int")) for k in range(n)]
+            ),
+        )).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(_tokens(text)), build), 1)
 
 
 def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
