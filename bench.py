@@ -268,8 +268,11 @@ def run_scaling_phase() -> None:
     Both defenses are pre-registered ENVIRONMENTAL checks, never the measured
     throughput: the gate before each rep requires steal-rate < quiet_thresh
     AND probe bandwidth ≥ bw_thresh — but the gate WAIT is bounded (default
-    ≤120 s per rep): with during-run validity marking as the real defense,
-    an endless gate would just burn the budget sleeping (the round-3
+    ≤120 s per rep, doubling per consecutive invalid sample at that level:
+    storms last tens of minutes, so once a rep has demonstrably burned into
+    one, waiting longer beats burning another): with during-run validity
+    marking as the real defense, an endless gate would just burn the budget
+    sleeping (the round-3
     failure mode). A sample is VALID iff its during-run steal ≤ valid_steal
     AND the bandwidth probes bracketing it (pre + post) both clear
     bw_thresh. The base schedule runs with NO inline retries (securing one
@@ -371,11 +374,18 @@ def run_scaling_phase() -> None:
     def env_probe() -> tuple[float, float]:
         return steal_rate(), bw_gbps()
 
-    def quiet_gate(wait_budget: float) -> tuple[float, float]:
-        """Wait (bounded) for a quiet host window; returns the last probe."""
+    def quiet_gate(wait_budget: float, cap_mult: float = 1.0) -> tuple[float, float]:
+        """Wait (bounded) for a quiet host window; returns the last probe.
+
+        ``cap_mult`` escalates the wait cap when a level's samples keep
+        coming back invalid: contention storms on this host last tens of
+        minutes, so burning a rep into a known-bad window wastes ~3-7 min of
+        budget that waiting would spend outlasting the storm instead. The
+        escalation keys on validity flags (host counters), never measured
+        throughput — outcome-independent."""
         waited = 0.0
         rate, bw = env_probe()
-        cap = min(gate_wait_max, wait_budget)
+        cap = min(gate_wait_max * cap_mult, wait_budget)
         while (rate > quiet_thresh or bw < bw_thresh) and waited < cap:
             time.sleep(20)
             waited += 23.0
@@ -410,7 +420,8 @@ def run_scaling_phase() -> None:
                 f"median per level over environment-valid reps "
                 f"(low×{reps_low}, high×{reps_high}; gate: steal < "
                 f"{quiet_thresh}/s AND probe bw ≥ {bw_thresh} GB/s, wait "
-                f"≤{gate_wait_max:.0f}s; sample valid iff during-run steal "
+                f"≤{gate_wait_max:.0f}s ×2^consecutive-invalid at that "
+                f"level; sample valid iff during-run steal "
                 f"≤ {valid_steal}/s AND pre/post bw probes ≥ {bw_thresh} "
                 f"GB/s; base schedule H,L,H,H,L with no inline retries, "
                 f"then a retry pass: high until {reps_high} valid or budget "
@@ -435,10 +446,17 @@ def run_scaling_phase() -> None:
                 ),
             }
 
+    consec_invalid = {SCALE_LOW: 0, SCALE_HIGH: 0}
+
     def one_run(m: int, rep: int) -> str:
         """One pinned measurement; returns 'valid' | 'invalid' | 'crashed'."""
         global _CHILD
-        pre_rate, pre_bw = quiet_gate(remaining() - est[m] - RESERVE)
+        # storm escalation: each consecutive invalid sample at this level
+        # doubles the gate wait cap (120 → 240 → 480 s…), bounded by what
+        # the budget can spare beyond the rep itself
+        pre_rate, pre_bw = quiet_gate(
+            remaining() - est[m] - RESERVE, cap_mult=2.0 ** consec_invalid[m]
+        )
         # the parse-stage probe costs ~25 s per low-level run: probe until
         # one probe lands inside a VALID rep (≤3 attempts), then stop
         with_parse = parse_probes[m] < 1 and probe_attempts[m] < 3
@@ -494,6 +512,7 @@ def run_scaling_phase() -> None:
             }
         )
         runs[m].append(r)
+        consec_invalid[m] = 0 if valid else consec_invalid[m] + 1
         if with_parse and valid:
             parse_probes[m] += 1
         if p and valid and (m not in ps or p["pages_per_sec"] > ps[m]["pages_per_sec"]):
