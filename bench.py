@@ -89,14 +89,17 @@ MEGA_DOM = int(os.environ.get("NIMBUS_BENCH_MEGA_DOM", "40"))
 SCALE_LOW = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "2"))
 SCALE_HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", str(min(4 * SCALE_LOW, CPUS))))
 # scaling corpus at production-weight DOM (d200 pages, ~20-30 KB HTML — still
-# LIGHTER than median real-web HTML). Sized so the quiet-case schedule fits
-# the total budget with headroom: at d200 the Arrow-batched parse stage
-# (which scales at ~0.96+) dominates the round wall, so the ~14 s fixed
-# driver cost (constant across corpus sizes; at production round sizes
-# amortized to nothing) stays a small fraction at BOTH levels. 4000 hosts
-# halves round-3's 8000-host walls (~460 s → ~230 s at 2 cores) — the
-# low-level walls were the budget killer that timed out round 3.
-SCALE_HOSTS = int(os.environ.get("NIMBUS_BENCH_SCALE_HOSTS", "4000"))
+# LIGHTER than median real-web HTML). Sized so the ~14 s fixed per-round
+# driver cost (plan construction, py4j, commit marker — constant across
+# corpus sizes; at production round sizes amortized to nothing) stays a
+# small share of the HIGH level's wall: at 4000 hosts the clean-host pair
+# recorded 0.785 purely because 14 s was 20% of the 70 s 8-core wall while
+# the variable work scaled at 0.92. 8000 hosts (round 3's statistically
+# right choice, whose ~460 s 2-core walls then blew the budget) is
+# affordable now — the round-4 engine runs the same shape ~2× faster
+# (~415 s at 2 cores, ~125 s at 8) — with the second low rep budget-skipped
+# by the fit check in the quiet case.
+SCALE_HOSTS = int(os.environ.get("NIMBUS_BENCH_SCALE_HOSTS", "8000"))
 SCALE_DOM = int(os.environ.get("NIMBUS_BENCH_SCALE_DOM", "200"))
 
 # ---------------------------------------------------------------------------
@@ -324,7 +327,7 @@ def run_scaling_phase() -> None:
     # observed rep; used only for budget fit checks. Seeded from measured
     # contaminated-window runs at the default 4000-host corpus (pessimistic:
     # 2-core 517 s incl. the now-preseeded template and a 2.7× parse probe).
-    est = {SCALE_LOW: 420.0, SCALE_HIGH: 160.0}
+    est = {SCALE_LOW: 500.0, SCALE_HIGH: 180.0}
     runs: dict = {SCALE_LOW: [], SCALE_HIGH: []}
     ps: dict = {}
     samples: list = []
