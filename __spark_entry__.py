@@ -275,6 +275,12 @@ def _q_curation(spark, sf_dir):
     return curation_pipeline(_t(spark, sf_dir, "documents"))
 
 
+def _q_term_stats(spark, sf_dir):
+    from nimbus_crawler_spark.operators.textstats import term_stats
+
+    return term_stats(_t(spark, sf_dir, "documents"), top_k=100)
+
+
 # --- similarity family ---
 
 def _emb(spark, sf_dir):
@@ -553,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": _q_quality,
         "repetition": _q_repetition,
         "curation": _q_curation,
+        "term_stats": _q_term_stats,
         # similarity
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_bucketed": _q_ann_bucketed,
@@ -911,6 +918,18 @@ SELECT t.doc_id, len(t.tk) AS n_tokens,
   floor((CASE WHEN coalesce(a3.n, 0) > 0 THEN CAST(a3.n - a3.d AS DOUBLE) / a3.n ELSE 0 END) * 10000 + 0.5) / 10000 AS dup_trigram_frac
 FROM toks t
 LEFT JOIN a1 USING (doc_id) LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+""",
+        "term_stats": r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+  FROM documents),
+t AS (SELECT doc_id, unnest(tk) AS token FROM toks),
+a AS (SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+      FROM t GROUP BY token),
+k AS (SELECT * FROM a ORDER BY n_occurrences DESC, token LIMIT 100)
+SELECT token, n_occurrences, n_docs,
+       row_number() OVER (ORDER BY n_occurrences DESC, token) AS rank
+FROM k
 """,
         "curation": r"""
 WITH m AS (

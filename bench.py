@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "curation",
     "lang_id",
     "token_counts",
+    "term_stats",
     "fingerprints",
     "canonicalize",
     "extract_roundtrip",

@@ -215,6 +215,40 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     return out.drop("_g1", "_g2", "_g3")
 
 
+def term_stats(
+    docs: DataFrame,
+    top_k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary statistics: the ``top_k`` most frequent tokens with
+    occurrence and document frequencies — the TF-IDF / tokenizer-vocab prep
+    aggregation of a training-data pipeline.
+
+    Scale design: one explode feeds ONE hash aggregation on the token key
+    (map-side partial combine collapses each partition's token stream before
+    the shuffle; document frequency via count(distinct doc_id) uses Spark's
+    two-phase distinct rewrite on the same exchange). Top-k is a distributed
+    TakeOrdered (orderBy + limit), NOT a global window — the only window
+    runs over the ≤ top_k surviving rows to stamp dense ranks, the same
+    tiny-side-plan pattern as operators/ranking.py. Ties break by token
+    ascending, so the result is deterministic and oracle-comparable."""
+    t = F.col(text_col)
+    toks = F.filter(F.split(F.lower(F.trim(t)), r"\s+"), lambda x: x != "")
+    agg = (
+        docs.select(id_col, F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return agg.withColumn("rank", F.row_number().over(w))
+
+
 def curation_pipeline(
     docs: DataFrame,
     id_col: str = "doc_id",

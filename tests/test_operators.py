@@ -217,6 +217,25 @@ class TestTextstats:
         assert got[1]["dup_bigram_frac"] == 0.6  # 5 bigrams, 2 distinct
         assert got[3]["top_bigram_frac"] == 0.0
 
+    def test_term_stats(self, spark):
+        from nimbus_crawler_spark.operators.textstats import term_stats
+
+        rows = [
+            (0, "apple banana apple cherry"),
+            (1, "banana apple"),
+            (2, "cherry"),
+            (3, ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = term_stats(df, top_k=2).collect()
+        assert [(r["token"], r["n_occurrences"], r["n_docs"], r["rank"]) for r in got] == [
+            ("apple", 3, 2, 1),
+            ("banana", 2, 2, 2),  # ties with cherry on docs, wins on occurrences
+        ]
+        full = {r["token"]: r for r in term_stats(df, top_k=10).collect()}
+        assert full["cherry"]["n_occurrences"] == 2 and full["cherry"]["n_docs"] == 2
+        assert len(full) == 3  # empty doc contributes nothing
+
     def test_curation_pipeline(self, spark):
         from nimbus_crawler_spark.operators.textstats import curation_pipeline
 
