@@ -281,6 +281,70 @@ def _q_term_stats(spark, sf_dir):
     return term_stats(_t(spark, sf_dir, "documents"), top_k=100)
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs → connected components → keep-one decision: the
+    grouping step between LSH pair emission and survivor selection.
+
+    Tighter pair parameters than the `simhash_near_pairs` gate (hamming ≤ 1,
+    2 bands): the clustering input should be CONFIDENT near-dups — and the
+    mh=3 graph on this synthetic corpus is ~7× denser, which only stresses
+    the pair generator the other gate already times."""
+    from nimbus_crawler_spark.operators.graph import dedup_clusters
+    from nimbus_crawler_spark.operators.textdedup import simhash_near_pairs
+
+    pairs = simhash_near_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=1, bits=16, bands=2
+    )
+    return dedup_clusters(pairs)
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: eval split = doc_id % 25 == 0 (deterministic
+    stand-in for a held-out benchmark), train = the rest; flags train docs
+    sharing ≥1 trigram with any eval doc."""
+    from nimbus_crawler_spark.operators.textdedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.where(F.col("doc_id") % 25 != 0),
+        docs.where(F.col("doc_id") % 25 == 0),
+        shingle_n=3,
+    )
+
+
+def _q_pii_scrub(spark, sf_dir):
+    """PII count + redaction over documents with deterministically injected
+    emails/phones (the synthetic corpus contains none — the injection, a pure
+    function of doc_id mirrored in the SQL oracle, makes the scrub
+    observable; docs with doc_id % 3 != 0 and % 4 != 0 stay PII-free so the
+    zero path is exercised too)."""
+    from nimbus_crawler_spark.operators.textstats import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit(" call +1-555-010-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return pii_scrub(injected)
+
+
 # --- similarity family ---
 
 def _emb(spark, sf_dir):
@@ -560,6 +624,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": _q_repetition,
         "curation": _q_curation,
         "term_stats": _q_term_stats,
+        "dedup_clusters": _q_dedup_clusters,
+        "decontaminate": _q_decontaminate,
+        "pii_scrub": _q_pii_scrub,
         # similarity
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_bucketed": _q_ann_bucketed,
@@ -975,6 +1042,57 @@ k AS (SELECT * FROM f
 SELECT doc_id, pred_lang, quality_score, top_bigram_frac, fingerprint
 FROM (SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn FROM k)
 WHERE rn = 1
+""",
+        # connected components as transitive-closure min over the SAME pair
+        # set the Spark query clusters. The closure materializes O(sum |C|^2)
+        # reachability rows — fine at oracle scale, and exactly why the
+        # engine side uses hook+jump label propagation instead (graph.py).
+        "dedup_clusters": f"""
+WITH RECURSIVE pairs AS ({_simhash_pairs_oracle(16, 2, 1)}),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+cc AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS is_keeper
+FROM cc
+""",
+        "decontaminate": r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS shingle
+  FROM toks, unnest(range(1, greatest(len(tk) - 1, 1))) AS r(i)
+  WHERE len(tk) >= 3),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 25 = 0)
+SELECT s.doc_id, count(*) AS n_shared_ngrams
+FROM sh s JOIN ev USING (shingle)
+WHERE s.doc_id % 25 <> 0
+GROUP BY s.doc_id
+""",
+        "pii_scrub": r"""
+WITH inj AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+            ELSE '' END
+    || CASE WHEN doc_id % 4 = 0
+            THEN ' call +1-555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+  len(regexp_extract_all(t, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+  md5(regexp_replace(
+        regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrubbed_fp
+FROM inj
 """,
         "ann_cosine_topk": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -62,6 +62,9 @@ BENCH_QUERIES = [
     "quality",
     "repetition",
     "curation",
+    "decontaminate",
+    "pii_scrub",
+    "dedup_clusters",
     "lang_id",
     "token_counts",
     "term_stats",

@@ -1,0 +1,132 @@
+"""Distributed connected components for duplicate-cluster resolution.
+
+Near-dup detection (MinHash-LSH / SimHash banding, ``operators/textdedup.py``)
+emits PAIRS; a curation pipeline must turn those pairs into CLUSTERS and keep
+one canonical document per cluster — pairwise "drop b of (a,b)" over-deletes
+whenever duplicates chain (a~b, b~c, a!~c would drop both b and c). This is
+the grouping step every large-scale dedup stack runs between LSH and the
+keep-one decision.
+
+Algorithm: iterative min-label propagation with POINTER JUMPING — each round
+(1) *hook*: every node takes the minimum label over itself and its
+neighbors; (2) *jump*: every node replaces its label by its label's label
+(path halving). The jump step is what turns the O(diameter) naive
+propagation into O(log n) rounds (Shiloach-Vishkin style); on LSH-derived
+graphs — unions of band-bucket cliques — the effective diameter is tiny and
+convergence is observed in 2-4 rounds.
+
+Scale design (the reason this is a driver loop, not a recursive SQL):
+* each round is two shuffles (neighbor-min aggregation keyed by node, label
+  self-join keyed by label) over ONE row per node/edge — no transitive
+  closure is ever materialized (the SQL-oracle formulation materializes
+  O(sum |C|^2) reachability rows, fine at test scale, fatal at 10^10 docs);
+* labels monotonically decrease, so convergence ("no row changed this
+  round") is a well-founded fixpoint, checked with a LIMIT-1 existence job
+  (short-circuits at the first changed row rather than counting all);
+* every round ends in ``localCheckpoint`` — the plan would otherwise grow
+  by two joins per round and re-plan the whole history each action (the
+  standard iterative-algorithm lineage trap).
+
+At the fixpoint each component's label is exactly its minimum node id: labels
+start as node ids, only values that are node ids of the same component ever
+propagate (edges stay within components), and any edge (u,v) with differing
+labels would still change in the next hook — so stability implies
+per-component constancy, and the minimum node keeps its own id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``; component is
+    the minimum node id of its connected component.
+
+    ``max_iter`` is a safety bound only — pointer jumping converges in
+    O(log n) rounds, so 30 covers any graph that fits on a cluster.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    # the edge list is consumed once per round — compute it once
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select("u")
+        .distinct()
+        .select(F.col("u").alias("node"), F.col("u").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # hook: comp(v) <- min(comp(v), min over neighbors' comp)
+        nmin = (
+            sym.join(
+                labels.select(F.col("node").alias("v"), F.col("comp").alias("_vc")), "v"
+            )
+            .groupBy("u")
+            .agg(F.min("_vc").alias("_nmin"))
+            .withColumnRenamed("u", "node")
+        )
+        # pinned: the jump self-join consumes hooked TWICE — unpinned, the
+        # neighbor-min aggregation above would execute once per join side
+        hooked = (
+            labels.join(nmin, "node", "left")
+            .select("node", F.least("comp", F.coalesce("_nmin", "comp")).alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        # jump: comp(v) <- comp(comp(v)) — path halving; comp values are
+        # always node ids, so the self-join on the label table total
+        jumped = (
+            hooked.alias("l")
+            .join(
+                hooked.select(
+                    F.col("node").alias("_c"), F.col("comp").alias("_cc")
+                ).alias("r"),
+                F.col("l.comp") == F.col("r._c"),
+                "left",
+            )
+            .select(F.col("l.node").alias("node"), F.coalesce("_cc", "l.comp").alias("comp"))
+        )
+        # jumped reads only checkpointed inputs; pin it too so the
+        # convergence probe and the next round plan against stored rows
+        new_labels = jumped.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(pairs: DataFrame, src: str = "a", dst: str = "b") -> DataFrame:
+    """Cluster assignment + keep-one decision from a near-dup pair set:
+    (doc_id, cluster_id, cluster_size, is_keeper).
+
+    ``cluster_id`` is the minimum doc_id of the cluster and its ``is_keeper``
+    row marks the canonical survivor (min-id-wins, the deterministic analog
+    of the crawl engine's first-wins content dedup — see
+    /root/reference/internal/parser/parser.go content-hash skip). Documents
+    with no near-dup pair are singletons and are not emitted — the caller
+    keeps them unconditionally (an anti-join against the non-keeper rows).
+
+    The size/keeper stamping windows over one row per clustered doc — tiny
+    next to the pair set that produced it.
+    """
+    cc = connected_components(pairs, src=src, dst=dst)
+    w = Window.partitionBy("comp")
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("node") == F.col("comp")).alias("is_keeper"),
+    )

@@ -280,6 +280,45 @@ def minhash_dedup_pairs(
     return jaccard_verify(cands, docs, threshold, shingle_n)
 
 
+def decontaminate(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: training documents sharing ≥1 n-gram with
+    any evaluation document — (doc_id, n_shared_ngrams), one row per
+    contaminated training doc (GPT-3 appendix C / PaLM style, which drop
+    train docs with 13-gram eval overlap; the n is a parameter because the
+    principle, not the constant, is the operator).
+
+    Scale design: the eval side of the join is a benchmark suite — thousands
+    of documents against a 10^10-doc corpus — so its distinct n-gram set is
+    broadcast and the training corpus NEVER shuffles for the join; the only
+    exchange is the per-doc hit count, keyed by doc_id with map-side partial
+    aggregation. Shingling is the same JVM-side kernel as MinHash
+    (``shingles``), distinct per doc on both sides so ``n_shared_ngrams``
+    counts distinct shared n-grams.
+    """
+
+    def doc_shingles(docs: DataFrame) -> DataFrame:
+        return _spread(docs).select(
+            F.col(id_col),
+            F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias(
+                "shingle"
+            ),
+        )
+
+    ev = doc_shingles(eval_docs).select("shingle").distinct()
+    return (
+        doc_shingles(train_docs)
+        .join(F.broadcast(ev), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+
+
 def simhash_fingerprints(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
 ) -> DataFrame:

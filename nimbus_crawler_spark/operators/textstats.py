@@ -249,6 +249,40 @@ def term_stats(
     return agg.withColumn("rank", F.row_number().over(w))
 
 
+# PII patterns chosen from the RE2 ∩ java.util.regex common dialect (no
+# lookaround / backreferences), so the same string runs verbatim in Spark
+# and the DuckDB oracle. Email is applied FIRST: an email local part may
+# itself contain a phone-shaped substring ("user+1-234-567-8901@x.com"),
+# and redacting phones first would split the address and leak its domain.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_scrub(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """PII detection + redaction for training-data curation:
+    (doc_id, n_emails, n_phones, scrubbed_fp).
+
+    Emails → ``<EMAIL>``, international-format phone numbers → ``<PHONE>``;
+    ``scrubbed_fp`` is md5 of the redacted text (the full text stays in the
+    pipeline — the fingerprint keeps this operator's output narrow and
+    oracle-hashable). Pure codegen expressions (regexp_extract_all /
+    regexp_replace / md5): per-row, no shuffle, no UDF — at 100 TB this runs
+    inside the same scan projection as the quality features. Real pipelines
+    extend the pattern list (SSNs, IP addresses, street addresses); the
+    plumbing — count, redact, fingerprint — is what this operator fixes.
+    """
+    t = F.col(text_col)
+    clean = F.regexp_replace(
+        F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"), PII_PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        id_col,
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_PHONE_RE), F.lit(0))).alias("n_phones"),
+        F.md5(clean).alias("scrubbed_fp"),
+    )
+
+
 def curation_pipeline(
     docs: DataFrame,
     id_col: str = "doc_id",

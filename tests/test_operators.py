@@ -383,3 +383,81 @@ class TestGlobalRowNumberExchangeReuse:
             assert rns == list(range(3, 3 + len(rows)))
         finally:
             spark.conf.set("spark.sql.exchange.reuse", "true")
+
+
+class TestConnectedComponents:
+    def test_chain_and_isolated_component(self, spark):
+        """A path graph (1-2-3-4-5) exercises multiple hook+jump rounds; a
+        disjoint pair and a triangle verify component separation."""
+        from nimbus_crawler_spark.operators.graph import connected_components
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22), (20, 22)],
+            "a long, b long",
+        )
+        got = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+    def test_long_path_converges_within_log_rounds(self, spark):
+        """64-node path: naive min-propagation needs 63 rounds; pointer
+        jumping must finish inside the max_iter=10 bound (≈ log2 + slack)."""
+        from nimbus_crawler_spark.operators.graph import connected_components
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(63)], "a long, b long"
+        )
+        got = {r["node"]: r["comp"] for r in connected_components(edges, max_iter=10).collect()}
+        assert set(got.values()) == {0}
+        assert len(got) == 64
+
+    def test_dedup_clusters_keeper(self, spark):
+        from nimbus_crawler_spark.operators.graph import dedup_clusters
+
+        pairs = spark.createDataFrame([(7, 3), (3, 9), (12, 14)], "a long, b long")
+        rows = {r["doc_id"]: r for r in dedup_clusters(pairs).collect()}
+        assert rows[3]["cluster_id"] == 3 and rows[3]["is_keeper"]
+        assert rows[7]["cluster_id"] == 3 and not rows[7]["is_keeper"]
+        assert rows[9]["cluster_size"] == 3
+        assert rows[12]["cluster_id"] == 12 and rows[14]["cluster_size"] == 2
+
+
+class TestDecontaminate:
+    def test_flags_overlapping_train_docs(self, spark):
+        from nimbus_crawler_spark.operators.textdedup import decontaminate
+
+        train = spark.createDataFrame(
+            [
+                (0, "alpha beta gamma delta epsilon"),   # shares 'alpha beta gamma', 'beta gamma delta'
+                (1, "one two three four"),                # no overlap
+                (2, "alpha beta gamma"),                  # shares one trigram
+            ],
+            "doc_id long, text string",
+        )
+        ev = spark.createDataFrame(
+            [(100, "alpha beta gamma delta")], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: r["n_shared_ngrams"] for r in decontaminate(train, ev).collect()}
+        assert got == {0: 2, 2: 1}
+
+
+class TestPiiScrub:
+    def test_counts_and_redaction(self, spark):
+        from nimbus_crawler_spark.operators.textstats import pii_scrub
+
+        docs = spark.createDataFrame(
+            [
+                (0, "reach me at jane.doe+spam@mail.example.org or +1-415-555-0000 thanks"),
+                (1, "no pii here"),
+                (2, "two mails a@b.io c@d.co and +44-020-794-0000"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+        assert (rows[0]["n_emails"], rows[0]["n_phones"]) == (1, 1)
+        assert (rows[1]["n_emails"], rows[1]["n_phones"]) == (0, 0)
+        assert (rows[2]["n_emails"], rows[2]["n_phones"]) == (2, 1)
+        import hashlib
+
+        expected = "reach me at <EMAIL> or <PHONE> thanks"
+        assert rows[0]["scrubbed_fp"] == hashlib.md5(expected.encode()).hexdigest()
+        assert rows[1]["scrubbed_fp"] == hashlib.md5(b"no pii here").hexdigest()
