@@ -123,6 +123,22 @@ def main() -> int:
         )
     )
 
+    # 6. decontaminate: the eval-suite n-gram set must BROADCAST into the
+    # training-corpus shingle stream — the train side never shuffles for the
+    # join; the only exchange is the per-doc hit-count aggregation
+    from nimbus_crawler_spark.operators.textdedup import decontaminate
+
+    dec = decontaminate(
+        docs.where(F.col("doc_id") % 5 != 0), docs.where(F.col("doc_id") % 5 == 0)
+    )
+    sections.append(
+        (
+            "decontaminate: eval n-gram set broadcast into train shingles",
+            explain_str(dec),
+            ["BroadcastHashJoin", "HashAggregate"],
+        )
+    )
+
     ok = True
     lines = ["# Physical plans (captured by tools/explain_plans.py)\n"]
     for title, text, must_contain in sections:
