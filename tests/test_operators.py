@@ -420,6 +420,16 @@ class TestConnectedComponents:
         assert rows[9]["cluster_size"] == 3
         assert rows[12]["cluster_id"] == 12 and rows[14]["cluster_size"] == 2
 
+    def test_empty_pairs(self, spark):
+        """A corpus with no near-dup pairs must yield an empty cluster table
+        with the right schema (not an error) — the sf0.001 regime."""
+        from nimbus_crawler_spark.operators.graph import dedup_clusters
+
+        pairs = spark.createDataFrame([], "a long, b long")
+        out = dedup_clusters(pairs)
+        assert out.columns == ["doc_id", "cluster_id", "cluster_size", "is_keeper"]
+        assert out.count() == 0
+
 
 class TestDecontaminate:
     def test_flags_overlapping_train_docs(self, spark):
