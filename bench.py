@@ -112,6 +112,15 @@ SCALE_DOM = int(os.environ.get("NIMBUS_BENCH_SCALE_DOM", "200"))
 
 TOTAL_WALL = float(os.environ.get("NIMBUS_BENCH_TOTAL_WALL", "1500"))
 RESERVE = 40.0  # tail reserve: finalize + JSON print + interpreter teardown
+# Protected scaling budget: the north-rule number is the round's #1
+# deliverable, so the main phase may spend at most TOTAL_WALL - SCALE_RESERVE
+# before handing over. Sized for the quiet-case scaling schedule (1 low rep
+# ~375 s + 3 high reps ~112 s, ×1.15 fit margin, + gates/probes ≈ 880 s);
+# the quiet main phase needs ~350 s, so both fit with headroom. Under a
+# contention storm (observed: main phase inflates 3-5×) the main phase
+# skips its tail — recorded, never silent — instead of starving scaling
+# to zero samples (the failure a round-4 storm rehearsal demonstrated).
+SCALE_RESERVE = float(os.environ.get("NIMBUS_BENCH_SCALE_RESERVE", "900")) if SCALING else 0.0
 T0 = time.monotonic()
 
 OUT: dict = {
@@ -127,6 +136,11 @@ _CHILD: subprocess.Popen | None = None
 
 def remaining() -> float:
     return TOTAL_WALL - (time.monotonic() - T0)
+
+
+def main_remaining() -> float:
+    """Budget left for the (skippable) main phase, net of the scaling reserve."""
+    return remaining() - SCALE_RESERVE
 
 
 def finalize() -> None:
@@ -188,7 +202,15 @@ def _session(master: str):
 
 
 def run_main_phase(spark) -> None:
-    """Headline queries + crawl loop + mega round; fills OUT incrementally."""
+    """Headline queries + crawl loop + mega round; fills OUT incrementally.
+
+    Storm posture: everything here is SKIPPABLE (recorded, never silent) —
+    the phase must hand the scaling phase its reserved budget even when host
+    contention inflates each item 3-5×. The scale corpus + template are built
+    FIRST (the scaling phase cannot run without them and a storm rehearsal
+    measured 176 s for this setup mid-storm), then queries, then mega round,
+    then crawl loop, each fit-checked against the main-phase budget.
+    """
     import __spark_entry__ as entrymod
     from nimbus_crawler_spark.plans.bench import (
         bench_crawl_loop,
@@ -204,10 +226,33 @@ def run_main_phase(spark) -> None:
     docs.limit(256).selectExpr("md5(text)").count()
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(256).count()
 
+    if SCALING:
+        # generate the scaling corpus and pre-seed its template warehouse on
+        # THIS 32-core session, BEFORE any skippable work: setup stays out of
+        # the (pinned, slow) first scaling rep and a storm-inflated main
+        # phase can never starve the scaling phase of its prerequisites
+        from nimbus_crawler_spark.plans.bench import ensure_scale_template
+
+        t_gen = time.monotonic()
+        scale_pages = cached_corpus_path(
+            None, SCALE_HOSTS, MEGA_PPH, fanout=4, zipf_s=0.12,
+            para_words=(60, 160), heavy_dom=SCALE_DOM,
+        )
+        ensure_scale_template(spark, scale_pages)
+        OUT["scale_setup_sec"] = round(time.monotonic() - t_gen, 1)
+
     query_secs: dict[str, float] = {}
+    skipped_queries: list[str] = []
     OUT["queries"] = query_secs
+    # per-query fit estimate: 1.5× the slowest query observed so far (the
+    # timed queries are ≤ ~16 s quiet; under a storm the growing estimate
+    # tracks the inflation), floor 15 s
+    q_est = 15.0
     for name in BENCH_QUERIES:
         if name not in qs:
+            continue
+        if main_remaining() < q_est:
+            skipped_queries.append(name)
             continue
         t0 = time.perf_counter()
         if name == "dedup_ngram_jaccard":
@@ -227,34 +272,35 @@ def run_main_phase(spark) -> None:
             OUT["ngram_candidate_pairs"] = int(obs.get["candidate_pairs"])
         else:
             _force(qs[name](spark, SF_DIR))
-        query_secs[name] = round(time.perf_counter() - t0, 3)
+        secs = round(time.perf_counter() - t0, 3)
+        query_secs[name] = secs
+        q_est = max(q_est, 1.5 * secs)
+    if skipped_queries:
+        OUT["skipped_queries"] = skipped_queries
 
-    loop_pages = cached_corpus_path(spark, LOOP_HOSTS, LOOP_PPH, fanout=5)
-    wh = _bench_tmpdir("nimbus-bench-wh-")
-    OUT["crawl"] = bench_crawl_loop(spark, loop_pages, wh)
-    shutil.rmtree(wh, ignore_errors=True)
-
-    mega_pages = cached_corpus_path(
-        spark, MEGA_HOSTS, MEGA_PPH, fanout=4, zipf_s=0.12,
-        para_words=(60, 160), heavy_dom=MEGA_DOM,
-    )
-    wh = _bench_tmpdir("nimbus-bench-mega-")
-    OUT["mega_round"] = bench_mega_round(spark, mega_pages, wh)
-    shutil.rmtree(wh, ignore_errors=True)
-
-    if SCALING:
-        # generate the scaling corpus and pre-seed its template warehouse on
-        # THIS 32-core session: setup work stays out of the (pinned, slow)
-        # first scaling rep and off its wall estimate
-        from nimbus_crawler_spark.plans.bench import ensure_scale_template
-
-        t_gen = time.monotonic()
-        scale_pages = cached_corpus_path(
-            None, SCALE_HOSTS, MEGA_PPH, fanout=4, zipf_s=0.12,
-            para_words=(60, 160), heavy_dom=SCALE_DOM,
+    # mega round before crawl loop: it is the headline throughput number
+    # (BASELINE.md §1) — if the budget only fits one, it's this one.
+    # Estimates are storm-aware: quiet walls are ~21 s (mega) / ~34 s
+    # (crawl), storm-observed ~107/~101 s; the corpus cache build (first run
+    # on a host) adds ~30-60 s, covered by the margin in the estimates.
+    if main_remaining() > 150.0:
+        mega_pages = cached_corpus_path(
+            spark, MEGA_HOSTS, MEGA_PPH, fanout=4, zipf_s=0.12,
+            para_words=(60, 160), heavy_dom=MEGA_DOM,
         )
-        ensure_scale_template(spark, scale_pages)
-        OUT["scale_setup_sec"] = round(time.monotonic() - t_gen, 1)
+        wh = _bench_tmpdir("nimbus-bench-mega-")
+        OUT["mega_round"] = bench_mega_round(spark, mega_pages, wh)
+        shutil.rmtree(wh, ignore_errors=True)
+    else:
+        OUT["mega_round"] = {"skipped": "budget"}
+
+    if main_remaining() > 150.0:
+        loop_pages = cached_corpus_path(spark, LOOP_HOSTS, LOOP_PPH, fanout=5)
+        wh = _bench_tmpdir("nimbus-bench-wh-")
+        OUT["crawl"] = bench_crawl_loop(spark, loop_pages, wh)
+        shutil.rmtree(wh, ignore_errors=True)
+    else:
+        OUT["crawl"] = {"skipped": "budget"}
 
 
 def run_scaling_phase() -> None:
@@ -291,8 +337,10 @@ def run_scaling_phase() -> None:
     efficiency UP, so discarding it is conservative and its re-run must
     never crowd out a high rep. Rep allocation is noise-weighted:
     high ×3, low ×2 (the insensitive level needs fewer reps), schedule
-    H,L,H,H,L — the cheap high reps get budget priority because the high
-    MEDIAN drives the efficiency and an even-count median averages in
+    H,L,H,H,L in quiet weather (L,H,H,H,L when the phase-start probe reads
+    stormy — the storm-immune low sample is secured before gate waits can
+    burn the budget) — the cheap high reps get budget priority because the
+    high MEDIAN drives the efficiency and an even-count median averages in
     outliers; the trailing low rep is the first budget-skipped. Before each
     rep the harness checks the rep's estimated wall (last observed wall for
     that level × 1.15) against the remaining budget and skips reps that
@@ -430,7 +478,8 @@ def run_scaling_phase() -> None:
                 f"≤{gate_wait_max:.0f}s ×2^consecutive-invalid at that "
                 f"level; sample valid iff during-run steal "
                 f"≤ {valid_steal}/s AND pre/post bw probes ≥ {bw_thresh} "
-                f"GB/s; base schedule H,L,H,H,L with no inline retries, "
+                f"GB/s; base schedule H,L,H,H,L — L,H,H,H,L when the "
+                f"phase-start probe reads stormy — with no inline retries, "
                 f"then a retry pass: high until {reps_high} valid or budget "
                 f"out, low only if no valid low sample; retries unused: "
                 f"low {retries[SCALE_LOW]} high {retries[SCALE_HIGH]})"
@@ -544,13 +593,21 @@ def run_scaling_phase() -> None:
     def fits(m: int) -> bool:
         return remaining() > est[m] + RESERVE
 
-    # High-priority schedule H,L,H,H,L: the high level carries the noise
-    # (valid 8-core samples have been observed 48% apart) and its MEDIAN
-    # drives the efficiency — with only 2 samples statistics.median averages
-    # them, so landing all 3 high reps matters more than the second low rep.
-    # Highs are also 3× cheaper, so when the budget runs short the trailing
-    # LOW rep is the one skipped. The first (cheap) high rep guarantees an
-    # early sample at that level whatever happens later.
+    # Weather-adaptive base order, pre-registered and outcome-independent
+    # (it keys on the SAME host counters as the gate — steal rate + memcpy
+    # probe — never on measured throughput):
+    # * QUIET → H,L,H,H,L: the high level carries the noise (valid 8-core
+    #   samples have been observed 48% apart) and its MEDIAN drives the
+    #   efficiency — with only 2 samples statistics.median averages them, so
+    #   landing all 3 high reps matters more than the second low rep. Highs
+    #   are also 3× cheaper, so when the budget runs short the trailing LOW
+    #   rep is the one skipped.
+    # * STORM → L,H,H,H,L: the 2-core level uses 2 of 32 host cores and is
+    #   nearly storm-immune (±7% across recorded samples), so its rep stays
+    #   valid whatever the weather — run it FIRST so the one storm-robust
+    #   sample exists before any budget burns on gate waits; the high reps
+    #   then get the remaining budget (and the escalating gate waits) to
+    #   outlast the storm.
     # Base schedule first, NO inline retries: under a sustained contention
     # storm (dress rehearsal 3: 25 straight minutes of 10-126 jiffies/s
     # steal) inline retries burned 800 s re-running one hopeless high rep
@@ -560,10 +617,21 @@ def run_scaling_phase() -> None:
     # validity from the bounded budgets. Retries depend only on validity
     # flags (host counters), never on measured values — no optional
     # stopping.
-    schedule = [(SCALE_HIGH, 0)]
-    if reps_low > 0:
-        schedule.append((SCALE_LOW, 0))
-    schedule += [(SCALE_HIGH, j) for j in range(1, reps_high)]
+    rate0, bw0 = env_probe()
+    stormy = rate0 > quiet_thresh or bw0 < bw_thresh
+    OUT["scaling_weather_at_start"] = {
+        "steal_rate": round(rate0, 2),
+        "bw_gbps": round(bw0, 2),
+        "stormy": stormy,
+    }
+    if stormy and reps_low > 0:
+        schedule = [(SCALE_LOW, 0)]
+        schedule += [(SCALE_HIGH, j) for j in range(reps_high)]
+    else:
+        schedule = [(SCALE_HIGH, 0)]
+        if reps_low > 0:
+            schedule.append((SCALE_LOW, 0))
+        schedule += [(SCALE_HIGH, j) for j in range(1, reps_high)]
     schedule += [(SCALE_LOW, i) for i in range(1, reps_low)]
     for m, rep in schedule:
         if runs[m] and not fits(m):
