@@ -526,7 +526,36 @@ def run_scaling_phase() -> None:
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         _CHILD = proc
-        out_s, err_s = proc.communicate()
+        # Per-rep wall cap, outcome-independent (time + budget, never
+        # throughput): a rep running past 2× its level's estimate is inside
+        # a contention storm (dress rehearsal: a quiet-gated 8-core rep hit
+        # mid-rep steal of 51 jiffies/s and walled 479 s vs ~175 quiet) and
+        # would fail during-run validity anyway — killing it reclaims the
+        # budget so a later rep can run when the storm passes, instead of
+        # one doomed rep eating the whole phase. The remaining-budget bound
+        # converts "self-alarm kills a mid-flight rep and loses everything
+        # after it" into a recorded abort with budget left for the record.
+        cap = max(min(est[m] * 2.0, remaining() - RESERVE), 60.0)
+        try:
+            out_s, err_s = proc.communicate(timeout=cap)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            out_s, err_s = proc.communicate()
+            _CHILD = None
+            rep_wall = time.monotonic() - t_rep
+            samples.append(
+                {
+                    "cores": m,
+                    "rep": rep,
+                    "rep_wall_sec": round(rep_wall, 1),
+                    "aborted": f"wall_cap_{cap:.0f}s",
+                    "valid": False,
+                }
+            )
+            # an abort is storm evidence: escalate the next gate wait, and
+            # do NOT let the contaminated wall inflate the fit estimate
+            consec_invalid[m] += 1
+            return "crashed"
         _CHILD = None
         rep_wall = time.monotonic() - t_rep
         est[m] = rep_wall * 1.15
