@@ -105,6 +105,15 @@ SCALE_HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", str(min(4 * SCALE_LOW,
 # by the fit check in the quiet case.
 SCALE_HOSTS = int(os.environ.get("NIMBUS_BENCH_SCALE_HOSTS", "8000"))
 SCALE_DOM = int(os.environ.get("NIMBUS_BENCH_SCALE_DOM", "200"))
+# storm fallback corpus: when the scaling phase STARTS inside a declared
+# contention storm (same probes as the gate), no 8000-host pair can finish —
+# a dress rehearsal measured the 2-core rep at 906 s (2.1× quiet; even the
+# "storm-immune" level collapses under sustained steal of 30-65 jiffies/s)
+# which alone ate the phase budget. A 3000-host pair fits even at ~2.5×
+# storm inflation. The smaller frontier raises the fixed-driver-cost share,
+# biasing the measured efficiency DOWN — conservative for the ≥0.8
+# criterion and recorded (`storm_corpus: true`) so provenance is auditable.
+SCALE_HOSTS_STORM = int(os.environ.get("NIMBUS_BENCH_SCALE_HOSTS_STORM", "3000"))
 
 # ---------------------------------------------------------------------------
 # one total wall budget; crash-proof incremental output
@@ -234,11 +243,13 @@ def run_main_phase(spark) -> None:
         from nimbus_crawler_spark.plans.bench import ensure_scale_template
 
         t_gen = time.monotonic()
-        scale_pages = cached_corpus_path(
-            None, SCALE_HOSTS, MEGA_PPH, fanout=4, zipf_s=0.12,
-            para_words=(60, 160), heavy_dom=SCALE_DOM,
-        )
-        ensure_scale_template(spark, scale_pages)
+        # storm corpus first: it is the one needed when time is shortest
+        for hosts in (SCALE_HOSTS_STORM, SCALE_HOSTS):
+            scale_pages = cached_corpus_path(
+                None, hosts, MEGA_PPH, fanout=4, zipf_s=0.12,
+                para_words=(60, 160), heavy_dom=SCALE_DOM,
+            )
+            ensure_scale_template(spark, scale_pages)
         OUT["scale_setup_sec"] = round(time.monotonic() - t_gen, 1)
 
     query_secs: dict[str, float] = {}
@@ -350,13 +361,6 @@ def run_scaling_phase() -> None:
 
     global _CHILD
 
-    t_gen = time.monotonic()
-    scale_pages = cached_corpus_path(
-        None, SCALE_HOSTS, MEGA_PPH, fanout=4, zipf_s=0.12,
-        para_words=(60, 160), heavy_dom=SCALE_DOM,
-    )
-    OUT["scale_corpus_gen_sec"] = round(time.monotonic() - t_gen, 1)
-
     reps_low = int(os.environ.get("NIMBUS_BENCH_REPS_LOW", "2"))
     reps_high = int(os.environ.get("NIMBUS_BENCH_REPS_HIGH", "3"))
     # quiet threshold: steal-rate in jiffies/s (1 jiffy = 10 ms CPU);
@@ -376,10 +380,11 @@ def run_scaling_phase() -> None:
     }
     # initial per-rep wall estimates (subprocess total: JVM start + warmup +
     # template copy + timed round + optional parse probe), refined from each
-    # observed rep; used only for budget fit checks. Seeded from measured
-    # contaminated-window runs at the default 4000-host corpus (pessimistic:
-    # 2-core 517 s incl. the now-preseeded template and a 2.7× parse probe).
-    est = {SCALE_LOW: 500.0, SCALE_HIGH: 180.0}
+    # observed rep; used only for budget fit checks and abort caps. Seeded
+    # after the weather probe picks the corpus (linear in frontier size on
+    # top of the measured ~100/80 s fixed subprocess cost; 8000 hosts ≙ the
+    # measured 500/180 s walls).
+    est: dict = {}
     runs: dict = {SCALE_LOW: [], SCALE_HIGH: []}
     ps: dict = {}
     samples: list = []
@@ -470,6 +475,8 @@ def run_scaling_phase() -> None:
             "high_parallelism": {"cores": SCALE_HIGH, **hi},
             "factor": factor,
             "efficiency": round(eff, 3),
+            "corpus_hosts": chosen_hosts,
+            "storm_corpus": stormy,
             "isolation": "cpu-pinned subprocess, 4GiB/core",
             "estimator": (
                 f"median per level over environment-valid reps "
@@ -535,7 +542,15 @@ def run_scaling_phase() -> None:
         # one doomed rep eating the whole phase. The remaining-budget bound
         # converts "self-alarm kills a mid-flight rep and loses everything
         # after it" into a recorded abort with budget left for the record.
-        cap = max(min(est[m] * 2.0, remaining() - RESERVE), 60.0)
+        # Declared-storm mode runs KNOWINGLY contaminated reps (for the
+        # flagged fallback record), so the 2× storm-detector cap doesn't
+        # apply; there the cap's only job is budget protection — and the low
+        # rep must leave room for one high rep or no ratio exists at all.
+        if stormy:
+            protect = est[SCALE_HIGH] * 1.5 if m == SCALE_LOW else 0.0
+            cap = max(min(est[m] * 3.0, remaining() - RESERVE - protect), 60.0)
+        else:
+            cap = max(min(est[m] * 2.0, remaining() - RESERVE), 60.0)
         try:
             out_s, err_s = proc.communicate(timeout=cap)
         except subprocess.TimeoutExpired:
@@ -653,6 +668,20 @@ def run_scaling_phase() -> None:
         "bw_gbps": round(bw0, 2),
         "stormy": stormy,
     }
+    # corpus choice is weather-keyed and pre-registered (see SCALE_HOSTS_STORM
+    # comment): both templates were pre-seeded by the main phase, so this is
+    # normally a cache hit
+    chosen_hosts = SCALE_HOSTS_STORM if stormy else SCALE_HOSTS
+    t_gen = time.monotonic()
+    scale_pages = cached_corpus_path(
+        None, chosen_hosts, MEGA_PPH, fanout=4, zipf_s=0.12,
+        para_words=(60, 160), heavy_dom=SCALE_DOM,
+    )
+    OUT["scale_corpus_gen_sec"] = round(time.monotonic() - t_gen, 1)
+    OUT["scale_corpus_hosts"] = chosen_hosts
+    frac = chosen_hosts / 8000.0
+    est[SCALE_LOW] = 100.0 + 400.0 * frac
+    est[SCALE_HIGH] = 80.0 + 100.0 * frac
     if stormy and reps_low > 0:
         schedule = [(SCALE_LOW, 0)]
         schedule += [(SCALE_HIGH, j) for j in range(reps_high)]
