@@ -347,12 +347,12 @@ def run_scaling_phase() -> None:
     if no valid low sample exists — a contaminated low sample can only bias
     efficiency UP, so discarding it is conservative and its re-run must
     never crowd out a high rep. Rep allocation is noise-weighted:
-    high ×3, low ×2 (the insensitive level needs fewer reps), schedule
-    H,L,H,H,L in quiet weather (L,H,H,H,L when the phase-start probe reads
-    stormy — the storm-immune low sample is secured before gate waits can
-    burn the budget) — the cheap high reps get budget priority because the
-    high MEDIAN drives the efficiency and an even-count median averages in
-    outliers; the trailing low rep is the first budget-skipped. Before each
+    high ×3, low ×2 (the insensitive level needs fewer reps). The corpus is
+    chosen by a PATHFINDER rep (one cheap storm-corpus high rep whose
+    during-run validity measures the coming window — a point probe cannot);
+    the base schedule is then L,H,H,H(,L): the expensive low rep runs first,
+    inside the window the pathfinder proved, and the cheap abort-capped high
+    reps follow; the trailing low rep is the first budget-skipped. Before each
     rep the harness checks the rep's estimated wall (last observed wall for
     that level × 1.15) against the remaining budget and skips reps that
     don't fit, keeping ≥1 attempted sample per level.
@@ -385,6 +385,8 @@ def run_scaling_phase() -> None:
     # top of the measured ~100/80 s fixed subprocess cost; 8000 hosts ≙ the
     # measured 500/180 s walls).
     est: dict = {}
+    corpus: dict = {"hosts": None, "path": None}
+    storm: dict = {"on": False}
     runs: dict = {SCALE_LOW: [], SCALE_HIGH: []}
     ps: dict = {}
     samples: list = []
@@ -475,8 +477,8 @@ def run_scaling_phase() -> None:
             "high_parallelism": {"cores": SCALE_HIGH, **hi},
             "factor": factor,
             "efficiency": round(eff, 3),
-            "corpus_hosts": chosen_hosts,
-            "storm_corpus": stormy,
+            "corpus_hosts": corpus["hosts"],
+            "storm_corpus": storm["on"],
             "isolation": "cpu-pinned subprocess, 4GiB/core",
             "estimator": (
                 f"median per level over environment-valid reps "
@@ -485,8 +487,8 @@ def run_scaling_phase() -> None:
                 f"≤{gate_wait_max:.0f}s ×2^consecutive-invalid at that "
                 f"level; sample valid iff during-run steal "
                 f"≤ {valid_steal}/s AND pre/post bw probes ≥ {bw_thresh} "
-                f"GB/s; base schedule H,L,H,H,L — L,H,H,H,L when the "
-                f"phase-start probe reads stormy — with no inline retries, "
+                f"GB/s; corpus picked by a storm-corpus pathfinder rep, "
+                f"base schedule L,H,H,H,L with no inline retries, "
                 f"then a retry pass: high until {reps_high} valid or budget "
                 f"out, low only if no valid low sample; retries unused: "
                 f"low {retries[SCALE_LOW]} high {retries[SCALE_HIGH]})"
@@ -511,7 +513,7 @@ def run_scaling_phase() -> None:
 
     consec_invalid = {SCALE_LOW: 0, SCALE_HIGH: 0}
 
-    def one_run(m: int, rep: int) -> str:
+    def one_run(m: int, rep: int, allow_parse: bool = True) -> str:
         """One pinned measurement; returns 'valid' | 'invalid' | 'crashed'."""
         global _CHILD
         # storm escalation: each consecutive invalid sample at this level
@@ -522,13 +524,13 @@ def run_scaling_phase() -> None:
         )
         # the parse-stage probe costs ~25 s per low-level run: probe until
         # one probe lands inside a VALID rep (≤3 attempts), then stop
-        with_parse = parse_probes[m] < 1 and probe_attempts[m] < 3
+        with_parse = allow_parse and parse_probes[m] < 1 and probe_attempts[m] < 3
         probe_attempts[m] += 1 if with_parse else 0
         renv = {**env, "NIMBUS_SCALE_PARSE": "1" if with_parse else "0"}
         t_rep = time.monotonic()
         proc = subprocess.Popen(
             [sys.executable, "-m", "nimbus_crawler_spark.plans.scalerun",
-             str(m), scale_pages],
+             str(m), corpus["path"]],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=renv,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
@@ -546,7 +548,7 @@ def run_scaling_phase() -> None:
         # flagged fallback record), so the 2× storm-detector cap doesn't
         # apply; there the cap's only job is budget protection — and the low
         # rep must leave room for one high rep or no ratio exists at all.
-        if stormy:
+        if storm["on"]:
             protect = est[SCALE_HIGH] * 1.5 if m == SCALE_LOW else 0.0
             cap = max(min(est[m] * 3.0, remaining() - RESERVE - protect), 60.0)
         else:
@@ -564,6 +566,7 @@ def run_scaling_phase() -> None:
                     "rep": rep,
                     "rep_wall_sec": round(rep_wall, 1),
                     "aborted": f"wall_cap_{cap:.0f}s",
+                    "corpus_hosts": corpus["hosts"],
                     "valid": False,
                 }
             )
@@ -573,7 +576,6 @@ def run_scaling_phase() -> None:
             return "crashed"
         _CHILD = None
         rep_wall = time.monotonic() - t_rep
-        est[m] = rep_wall * 1.15
         post_rate, post_bw = env_probe()
         line = out_s.strip().splitlines()[-1] if out_s.strip() else ""
         if not line.startswith("{"):
@@ -597,6 +599,13 @@ def run_scaling_phase() -> None:
             and post_bw >= bw_thresh
         )
         r["_valid"] = valid
+        # refine the fit estimate from VALID walls only: a storm-inflated
+        # wall is not an estimate of quiet-weather cost, and letting it in
+        # made fits() budget-skip reps that a cleared storm would have
+        # afforded (observed: one 357 s storm rep inflated est to 410 and
+        # skipped two high reps)
+        if valid:
+            est[m] = rep_wall * 1.15
         samples.append(
             {
                 "cores": m,
@@ -608,6 +617,7 @@ def run_scaling_phase() -> None:
                 "bw_before": round(pre_bw, 2),
                 "bw_after": round(post_bw, 2),
                 "steal_rate_after": round(post_rate, 2),
+                "corpus_hosts": corpus["hosts"],
                 "valid": valid,
             }
         )
@@ -661,35 +671,61 @@ def run_scaling_phase() -> None:
     # validity from the bounded budgets. Retries depend only on validity
     # flags (host counters), never on measured values — no optional
     # stopping.
+    def set_corpus(hosts: int) -> None:
+        """Pick the scaling corpus (normally a cache hit — the main phase
+        pre-seeded both templates) and reseed the per-rep wall estimates:
+        linear in frontier size on top of the measured ~100/80 s fixed
+        subprocess cost (8000 hosts ≙ the measured 500/180 s walls)."""
+        corpus["hosts"] = hosts
+        t_gen = time.monotonic()
+        corpus["path"] = cached_corpus_path(
+            None, hosts, MEGA_PPH, fanout=4, zipf_s=0.12,
+            para_words=(60, 160), heavy_dom=SCALE_DOM,
+        )
+        OUT["scale_corpus_gen_sec"] = round(time.monotonic() - t_gen, 1)
+        OUT["scale_corpus_hosts"] = hosts
+        frac = hosts / 8000.0
+        est[SCALE_LOW] = 100.0 + 400.0 * frac
+        est[SCALE_HIGH] = 80.0 + 100.0 * frac
+
     rate0, bw0 = env_probe()
-    stormy = rate0 > quiet_thresh or bw0 < bw_thresh
     OUT["scaling_weather_at_start"] = {
         "steal_rate": round(rate0, 2),
         "bw_gbps": round(bw0, 2),
-        "stormy": stormy,
+        "stormy": rate0 > quiet_thresh or bw0 < bw_thresh,
     }
-    # corpus choice is weather-keyed and pre-registered (see SCALE_HOSTS_STORM
-    # comment): both templates were pre-seeded by the main phase, so this is
-    # normally a cache hit
-    chosen_hosts = SCALE_HOSTS_STORM if stormy else SCALE_HOSTS
-    t_gen = time.monotonic()
-    scale_pages = cached_corpus_path(
-        None, chosen_hosts, MEGA_PPH, fanout=4, zipf_s=0.12,
-        para_words=(60, 160), heavy_dom=SCALE_DOM,
-    )
-    OUT["scale_corpus_gen_sec"] = round(time.monotonic() - t_gen, 1)
-    OUT["scale_corpus_hosts"] = chosen_hosts
-    frac = chosen_hosts / 8000.0
-    est[SCALE_LOW] = 100.0 + 400.0 * frac
-    est[SCALE_HIGH] = 80.0 + 100.0 * frac
-    if stormy and reps_low > 0:
-        schedule = [(SCALE_LOW, 0)]
-        schedule += [(SCALE_HIGH, j) for j in range(reps_high)]
+    # Corpus decision. A 3 s point probe cannot predict the next 10 minutes
+    # on this host (rehearsal: the probe read 0.67 jiffies/s and the first
+    # rep then ran at during-run steal 20.5/s). Unless the probe already
+    # reads stormy, the decision is made by a PATHFINDER rep: one cheap
+    # storm-corpus high rep whose during-run validity measures the coming
+    # window under exactly the pre-registered sample criteria.
+    #   valid → quiet confirmed: the ratio runs on the full corpus; the
+    #     pathfinder sample is set aside (different corpus — it must never
+    #     mix into the ratio's medians, though it stays in the samples log).
+    #   invalid/aborted/crashed → storm mode on the small corpus, keeping
+    #     the pathfinder as high rep 0 — its cost is never wasted.
+    set_corpus(SCALE_HOSTS_STORM)
+    if OUT["scaling_weather_at_start"]["stormy"]:
+        storm["on"] = True
     else:
-        schedule = [(SCALE_HIGH, 0)]
-        if reps_low > 0:
-            schedule.append((SCALE_LOW, 0))
-        schedule += [(SCALE_HIGH, j) for j in range(1, reps_high)]
+        pf = one_run(SCALE_HIGH, 0, allow_parse=False)
+        if pf == "valid":
+            OUT["pathfinder"] = samples[-1]
+            runs[SCALE_HIGH].pop()
+            set_corpus(SCALE_HOSTS)
+        else:
+            storm["on"] = True
+    # Base schedule L,H,H,H(,L), no inline retries: the expensive low rep
+    # runs FIRST, inside the window the pathfinder just proved quiet (in
+    # storm mode it is also the level least hurt by contention); the cheap,
+    # abort-capped high reps follow — a storm breaking mid-high now costs
+    # one bounded abort, where a storm breaking mid-low used to cost the
+    # whole ratio. The trailing low rep is the first budget-skipped (the
+    # low level is the stable one, ±2% across recorded valid samples).
+    have_high = len(runs[SCALE_HIGH])
+    schedule = [(SCALE_LOW, 0)] if reps_low > 0 else []
+    schedule += [(SCALE_HIGH, j) for j in range(have_high, reps_high)]
     schedule += [(SCALE_LOW, i) for i in range(1, reps_low)]
     for m, rep in schedule:
         if runs[m] and not fits(m):
