@@ -109,11 +109,13 @@ SCALE_DOM = int(os.environ.get("NIMBUS_BENCH_SCALE_DOM", "200"))
 # contention storm (same probes as the gate), no 8000-host pair can finish —
 # a dress rehearsal measured the 2-core rep at 906 s (2.1× quiet; even the
 # "storm-immune" level collapses under sustained steal of 30-65 jiffies/s)
-# which alone ate the phase budget. A 3000-host pair fits even at ~2.5×
-# storm inflation. The smaller frontier raises the fixed-driver-cost share,
-# biasing the measured efficiency DOWN — conservative for the ≥0.8
+# which alone ate the phase budget. A 2000-host pair fits even at the
+# measured worst-case inflation (8-core reps slow >3.2× under steal of
+# ~80 jiffies/s — the 8-core level is hit hardest because it needs 8 free
+# host cores at once). The smaller frontier raises the fixed-driver-cost
+# share, biasing the measured efficiency DOWN — conservative for the ≥0.8
 # criterion and recorded (`storm_corpus: true`) so provenance is auditable.
-SCALE_HOSTS_STORM = int(os.environ.get("NIMBUS_BENCH_SCALE_HOSTS_STORM", "3000"))
+SCALE_HOSTS_STORM = int(os.environ.get("NIMBUS_BENCH_SCALE_HOSTS_STORM", "2000"))
 
 # ---------------------------------------------------------------------------
 # one total wall budget; crash-proof incremental output
@@ -513,7 +515,7 @@ def run_scaling_phase() -> None:
 
     consec_invalid = {SCALE_LOW: 0, SCALE_HIGH: 0}
 
-    def one_run(m: int, rep: int, allow_parse: bool = True) -> str:
+    def one_run(m: int, rep: int, allow_parse: bool = True, pathfinder: bool = False) -> str:
         """One pinned measurement; returns 'valid' | 'invalid' | 'crashed'."""
         global _CHILD
         # storm escalation: each consecutive invalid sample at this level
@@ -548,9 +550,16 @@ def run_scaling_phase() -> None:
         # flagged fallback record), so the 2× storm-detector cap doesn't
         # apply; there the cap's only job is budget protection — and the low
         # rep must leave room for one high rep or no ratio exists at all.
-        if storm["on"]:
-            protect = est[SCALE_HIGH] * 1.5 if m == SCALE_LOW else 0.0
-            cap = max(min(est[m] * 3.0, remaining() - RESERVE - protect), 60.0)
+        # storm-mode multiplier is 4×: a rehearsal measured an 8-core rep
+        # aborting at 3× its estimate while a completed one would have given
+        # the round its only ratio — heavy steal (~80 jiffies/s) inflates
+        # the 8-core level >3.2×. The pathfinder needs only to DETECT a
+        # storm, not measure through one, so it aborts at 1.5×.
+        if pathfinder:
+            cap = max(min(est[m] * 1.5, remaining() - RESERVE), 60.0)
+        elif storm["on"]:
+            protect = est[SCALE_HIGH] * 4.0 if m == SCALE_LOW else 0.0
+            cap = max(min(est[m] * 4.0, remaining() - RESERVE - protect), 60.0)
         else:
             cap = max(min(est[m] * 2.0, remaining() - RESERVE), 60.0)
         try:
@@ -709,7 +718,7 @@ def run_scaling_phase() -> None:
     if OUT["scaling_weather_at_start"]["stormy"]:
         storm["on"] = True
     else:
-        pf = one_run(SCALE_HIGH, 0, allow_parse=False)
+        pf = one_run(SCALE_HIGH, 0, allow_parse=False, pathfinder=True)
         if pf == "valid":
             OUT["pathfinder"] = samples[-1]
             runs[SCALE_HIGH].pop()
