@@ -516,8 +516,18 @@ def run_scaling_phase() -> None:
     consec_invalid = {SCALE_LOW: 0, SCALE_HIGH: 0}
 
     def one_run(m: int, rep: int, allow_parse: bool = True, pathfinder: bool = False) -> str:
-        """One pinned measurement; returns 'valid' | 'invalid' | 'crashed'."""
+        """One pinned measurement; returns 'valid' | 'invalid' | 'crashed' | 'skipped'."""
         global _CHILD
+        # a rep whose abort cap cannot even cover its own estimate is futile
+        # — it would burn the whole cap and record nothing (observed: a
+        # trailing low rep got a 60 s floor-cap attempt against a ~200 s
+        # estimate). Skip it, keeping the ≥1-attempted-sample-per-level
+        # invariant.
+        if runs[m] and not pathfinder:
+            protect = est[SCALE_HIGH] * 4.0 if (storm["on"] and m == SCALE_LOW) else 0.0
+            if remaining() - RESERVE - protect < est[m]:
+                skipped.append({"cores": m, "rep": rep, "reason": "cap"})
+                return "skipped"
         # storm escalation: each consecutive invalid sample at this level
         # doubles the gate wait cap (120 → 240 → 480 s…), bounded by what
         # the budget can spare beyond the rep itself
