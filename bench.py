@@ -474,7 +474,22 @@ def run_scaling_phase() -> None:
         lo, hi = median_run(runs[SCALE_LOW]), median_run(runs[SCALE_HIGH])
         factor = SCALE_HIGH / SCALE_LOW
         eff = hi["urls_per_sec_median"] / (factor * lo["urls_per_sec_median"])
+        contaminated = lo["fallback_all_samples"] or hi["fallback_all_samples"]
         OUT["scaling"] = {
+            **(
+                {
+                    "contaminated_record": True,
+                    "note": (
+                        "one or both levels have no environment-valid sample: "
+                        "this ratio measures host contention, not the engine "
+                        "— see per-sample steal/bw columns below and the "
+                        "clean-host reproductions (0.833/0.839, 8000-host "
+                        "corpus) in BENCH/BASELINE.md §2"
+                    ),
+                }
+                if contaminated
+                else {}
+            ),
             "low_parallelism": {"cores": SCALE_LOW, **lo},
             "high_parallelism": {"cores": SCALE_HIGH, **hi},
             "factor": factor,
