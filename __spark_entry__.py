@@ -288,7 +288,13 @@ def _q_dedup_clusters(spark, sf_dir):
     Tighter pair parameters than the `simhash_near_pairs` gate (hamming ≤ 1,
     2 bands): the clustering input should be CONFIDENT near-dups — and the
     mh=3 graph on this synthetic corpus is ~7× denser, which only stresses
-    the pair generator the other gate already times."""
+    the pair generator the other gate already times.
+
+    bits=16, bands=2 (8-bit band keys) is a TEST-DENSITY choice for this
+    60k-doc corpus: 256 possible bucket keys per band keeps the test graph
+    dense enough to exercise multi-node clusters. Production sign-LSH band
+    keys must be wide enough that bucket sizes stay bounded (≥ ~24 bits at
+    10^9+ docs), or the bucket self-join degenerates toward all-pairs."""
     from nimbus_crawler_spark.operators.graph import dedup_clusters
     from nimbus_crawler_spark.operators.textdedup import simhash_near_pairs
 
@@ -1088,7 +1094,9 @@ WITH inj AS (
   FROM documents)
 SELECT doc_id,
   len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-  len(regexp_extract_all(t, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+  len(regexp_extract_all(
+        regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
   md5(regexp_replace(
         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrubbed_fp

@@ -4,9 +4,17 @@ $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS], the crawl-engine loop and a
 mega fetch round on the deterministic synthetic corpus, and (unless
 SPARK_GRAFT_SCALING=0) the N→4N scaling probe at local[2] vs local[8].
 
-Prints ONE JSON line:
-  {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...},
-   "sf": ..., "crawl": {...}, "mega_round": {...}, "scaling": {...}}
+Prints ONE COMPACT JSON line (the round-4 lesson: the driver records only
+the LAST 2,000 characters of stdout — r4's line, grown past that by
+estimator prose and per-sample diagnostics, decapitated itself and the
+record parsed null):
+  {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...2dp},
+   "sf": ..., "crawl": {...}, "mega_round": {...}, "scaling": {low/high
+   medians, factor, efficiency, corpus_hosts, storm_corpus, contaminated}}
+The headline is guaranteed ≤ HEADLINE_MAX (1900) chars and is the LAST
+bytes written to stdout; the FULL diagnostics (per-sample probe columns,
+gate logs, estimator description, stage profiles) are spilled to
+BENCH/last_run_full.json on disk.
 
 Budget discipline (the round-3 lesson): EVERY phase deadline derives from ONE
 total wall budget (NIMBUS_BENCH_TOTAL_WALL, default 1500 s — the last
@@ -138,11 +146,104 @@ OUT: dict = {
     "sf": SF_DIR,
     "cpus": CPUS,
     "budget_sec": TOTAL_WALL,
-    "metric": "crawl-round URLs/sec + headline query secs (sf=%s)" % SF_DIR,
+    "metric": "crawl URLs/sec + query secs",
     "unit": "sec",
 }
 _PRINTED = False
 _CHILD: subprocess.Popen | None = None
+
+# The driver's record is the LAST 2,000 characters of stdout; the headline
+# line must fit entirely inside that window with margin for its newline.
+HEADLINE_MAX = 1900
+FULL_DIAG_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH", "last_run_full.json"
+)
+
+
+def _compact_level(lev) -> dict | None:
+    """One scaling level for the headline: median + validity count only."""
+    if not isinstance(lev, dict):
+        return None
+    return {
+        "cores": lev.get("cores"),
+        "urls_per_sec_median": lev.get("urls_per_sec_median"),
+        "n_valid": 0 if lev.get("fallback_all_samples") else lev.get("median_over_valid", 0),
+    }
+
+
+def compact_headline(out: dict) -> dict:
+    """Distill the full incremental record into the ≤HEADLINE_MAX headline.
+
+    Keeps: identity (metric/unit/sf/cpus/budget), per-query secs (2 dp),
+    crawl + mega_round throughput, the scaling verdict (per-level medians,
+    factor, efficiency, corpus provenance, contamination flag), value, and
+    any truncated error markers. Drops: samples, gate logs, estimator prose,
+    stage profiles, notes — all of which live in BENCH/last_run_full.json.
+    Degrades (queries → summary) rather than ever exceeding the cap.
+    """
+    head: dict = {
+        "metric": out.get("metric"),
+        "unit": out.get("unit"),
+        "sf": out.get("sf"),
+        "cpus": out.get("cpus"),
+        "budget_sec": out.get("budget_sec"),
+    }
+    for k in ("terminated_by", "main_phase_error", "scaling_phase_error"):
+        if k in out:
+            head[k] = str(out[k])[:80]
+    q = out.get("queries")
+    if isinstance(q, dict):
+        head["queries"] = {k: round(v, 2) for k, v in q.items()}
+    if out.get("skipped_queries"):
+        head["skipped_queries_n"] = len(out["skipped_queries"])
+    for k in ("crawl", "mega_round"):
+        blk = out.get(k)
+        if isinstance(blk, dict):
+            head[k] = {
+                kk: blk[kk]
+                for kk in ("urls_per_sec", "fetched", "rounds", "frontier",
+                           "wall_sec", "skipped")
+                if kk in blk
+            }
+    sc = out.get("scaling")
+    if isinstance(sc, dict):
+        head["scaling"] = {
+            "low": _compact_level(sc.get("low_parallelism")),
+            "high": _compact_level(sc.get("high_parallelism")),
+            "factor": sc.get("factor"),
+            "efficiency": sc.get("efficiency"),
+            "corpus_hosts": sc.get("corpus_hosts"),
+            "storm_corpus": sc.get("storm_corpus"),
+            "contaminated": bool(sc.get("contaminated_record", False)),
+        }
+        if sc.get("partial"):
+            head["scaling"]["partial"] = True
+    elif isinstance(out.get("scaling_probe"), dict):
+        # killed before both levels had a sample: record the attempt counts
+        samp = out["scaling_probe"].get("samples") or []
+        head["scaling_samples"] = {
+            "n": len(samp),
+            "n_valid": sum(1 for s in samp if s.get("valid")),
+        }
+    pss = out.get("parse_stage_scaling")
+    if isinstance(pss, dict):
+        head["parse_stage_efficiency"] = pss.get("efficiency")
+    if "value" in out:
+        head["value"] = out["value"]
+    # never exceed the window: degrade in two bounded steps instead of
+    # asserting (an assert here would destroy the record it protects)
+    if len(json.dumps(head)) > HEADLINE_MAX and "queries" in head:
+        qs = head.pop("queries")
+        vals = list(qs.values())
+        head["queries_summary"] = {
+            "n": len(qs),
+            "sum_sec": round(sum(vals), 1) if vals else 0,
+            "max_sec": round(max(vals), 1) if vals else 0,
+        }
+    if len(json.dumps(head)) > HEADLINE_MAX:
+        for k in ("crawl", "mega_round", "parse_stage_efficiency", "scaling_samples"):
+            head.pop(k, None)
+    return head
 
 
 def remaining() -> float:
@@ -160,7 +261,18 @@ def finalize() -> None:
         return
     _PRINTED = True
     OUT["value"] = round(time.monotonic() - T0, 2)
-    print(json.dumps(OUT), flush=True)
+    try:
+        os.makedirs(os.path.dirname(FULL_DIAG_PATH), exist_ok=True)
+        with open(FULL_DIAG_PATH, "w") as f:
+            json.dump(OUT, f, indent=1)
+    except OSError:
+        pass
+    line = json.dumps(compact_headline(OUT))
+    # the headline must be the LAST bytes on stdout: flush both streams
+    # first, print it, write nothing after
+    sys.stderr.flush()
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 def _on_signal(signum, frame):  # noqa: ARG001
@@ -530,6 +642,16 @@ def run_scaling_phase() -> None:
 
     consec_invalid = {SCALE_LOW: 0, SCALE_HIGH: 0}
 
+    def fits(m: int) -> bool:
+        """THE budget predicate — shared by the schedule loop, the retry
+        loops, and one_run's own skip check, so a rep that passes the outer
+        check can never be immediately re-skipped inside (which burned
+        retries on no-op attempts in r4). Includes the storm-mode protect
+        term: a low rep must always leave room for one high rep, or no
+        ratio exists at all."""
+        protect = est[SCALE_HIGH] * 4.0 if (storm["on"] and m == SCALE_LOW) else 0.0
+        return remaining() - RESERVE - protect > est[m]
+
     def one_run(m: int, rep: int, allow_parse: bool = True, pathfinder: bool = False) -> str:
         """One pinned measurement; returns 'valid' | 'invalid' | 'crashed' | 'skipped'."""
         global _CHILD
@@ -538,11 +660,9 @@ def run_scaling_phase() -> None:
         # trailing low rep got a 60 s floor-cap attempt against a ~200 s
         # estimate). Skip it, keeping the ≥1-attempted-sample-per-level
         # invariant.
-        if runs[m] and not pathfinder:
-            protect = est[SCALE_HIGH] * 4.0 if (storm["on"] and m == SCALE_LOW) else 0.0
-            if remaining() - RESERVE - protect < est[m]:
-                skipped.append({"cores": m, "rep": rep, "reason": "cap"})
-                return "skipped"
+        if runs[m] and not pathfinder and not fits(m):
+            skipped.append({"cores": m, "rep": rep, "reason": "cap"})
+            return "skipped"
         # storm escalation: each consecutive invalid sample at this level
         # doubles the gate wait cap (120 → 240 → 480 s…), bounded by what
         # the budget can spare beyond the rep itself
@@ -620,9 +740,13 @@ def run_scaling_phase() -> None:
                     "rep": rep,
                     "rep_wall_sec": round(rep_wall, 1),
                     "error": (err_s or "no output")[-200:],
+                    "corpus_hosts": corpus["hosts"],
                     "valid": False,
                 }
             )
+            # like the wall-cap abort path: a crash is storm evidence too —
+            # escalate the next gate wait at this level
+            consec_invalid[m] += 1
             return "crashed"
         res = json.loads(line)
         r, p = res["round"], res.get("parse")
@@ -677,9 +801,6 @@ def run_scaling_phase() -> None:
             "median_over_valid": len(pool),
             "fallback_all_samples": not valid,
         }
-
-    def fits(m: int) -> bool:
-        return remaining() > est[m] + RESERVE
 
     # Weather-adaptive base order, pre-registered and outcome-independent
     # (it keys on the SAME host counters as the gate — steal rate + memcpy
@@ -776,10 +897,12 @@ def run_scaling_phase() -> None:
 
     while n_valid(SCALE_HIGH) < reps_high and retries[SCALE_HIGH] > 0 and fits(SCALE_HIGH):
         retries[SCALE_HIGH] -= 1
-        one_run(SCALE_HIGH, len(runs[SCALE_HIGH]))
+        if one_run(SCALE_HIGH, len(runs[SCALE_HIGH])) == "skipped":
+            break  # budget moved between checks — stop burning retries
     while n_valid(SCALE_LOW) == 0 and retries[SCALE_LOW] > 0 and fits(SCALE_LOW):
         retries[SCALE_LOW] -= 1
-        one_run(SCALE_LOW, len(runs[SCALE_LOW]))
+        if one_run(SCALE_LOW, len(runs[SCALE_LOW])) == "skipped":
+            break
     update_scaling(partial=False)
     if "scaling" in OUT:
         OUT.pop("scaling_probe", None)  # superseded — same lists live inside

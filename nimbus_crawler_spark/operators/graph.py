@@ -36,7 +36,7 @@ per-component constancy, and the minimum node keeps its own id.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -49,8 +49,13 @@ def connected_components(
     """(node, component) for every node appearing in ``edges``; component is
     the minimum node id of its connected component.
 
-    ``max_iter`` is a safety bound only — pointer jumping converges in
-    O(log n) rounds, so 30 covers any graph that fits on a cluster.
+    ``max_iter`` bounds the driver loop; with path halving the label chain
+    length at least halves per round, so rounds needed ≈ log2(longest chain)
+    + a small constant (a 64-node path converges in ~10). 30 rounds covers
+    chains up to ~2^26 nodes — beyond that (or on adversarial topologies)
+    the loop must NOT silently return partial labels (split clusters would
+    each elect a "keeper", silently under-deduplicating), so exhausting
+    ``max_iter`` without reaching the fixpoint raises.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
@@ -104,8 +109,12 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge within max_iter={max_iter} "
+        "rounds; returning partial labels would split clusters — raise "
+        "max_iter (rounds needed ~ log2(longest label chain))"
+    )
 
 
 def dedup_clusters(pairs: DataFrame, src: str = "a", dst: str = "b") -> DataFrame:
@@ -119,14 +128,20 @@ def dedup_clusters(pairs: DataFrame, src: str = "a", dst: str = "b") -> DataFram
     with no near-dup pair are singletons and are not emitted — the caller
     keeps them unconditionally (an anti-join against the non-keeper rows).
 
-    The size/keeper stamping windows over one row per clustered doc — tiny
-    next to the pair set that produced it.
+    ``cluster_size`` is stamped with a map-side-combinable
+    ``groupBy("comp").count()`` joined back on ``comp`` — NOT a
+    ``Window.partitionBy("comp")``: a window forces every row of a component
+    into one task buffer, and web-scale near-dup graphs reliably contain one
+    giant component (boilerplate templates chain 10^7-10^8 docs), which would
+    OOM that task. The aggregate side is one row per component, so the join
+    back is skew-tolerant (AQE splits the big build-side scan partitions).
+    ``is_keeper`` is a plain comparison — no ordering over the component.
     """
     cc = connected_components(pairs, src=src, dst=dst)
-    w = Window.partitionBy("comp")
-    return cc.select(
+    sizes = cc.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cc.join(sizes, "comp").select(
         F.col("node").alias("doc_id"),
         F.col("comp").alias("cluster_id"),
-        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        F.col("cluster_size"),
         (F.col("node") == F.col("comp")).alias("is_keeper"),
     )

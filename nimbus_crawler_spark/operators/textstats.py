@@ -270,15 +270,21 @@ def pii_scrub(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     inside the same scan projection as the quality features. Real pipelines
     extend the pattern list (SSNs, IP addresses, street addresses); the
     plumbing — count, redact, fingerprint — is what this operator fixes.
+
+    Counts agree with the redaction: ``n_phones`` is counted on the
+    email-redacted text, so a phone-shaped substring inside an email local
+    part ("user+1-234-567-8901@x.com") counts as 1 email and 0 phones —
+    matching the output, where only ``<EMAIL>`` appears.
     """
     t = F.col(text_col)
-    clean = F.regexp_replace(
-        F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"), PII_PHONE_RE, "<PHONE>"
-    )
+    emails_gone = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    clean = F.regexp_replace(emails_gone, PII_PHONE_RE, "<PHONE>")
     return docs.select(
         id_col,
         F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), F.lit(0))).alias("n_emails"),
-        F.size(F.regexp_extract_all(t, F.lit(PII_PHONE_RE), F.lit(0))).alias("n_phones"),
+        F.size(
+            F.regexp_extract_all(emails_gone, F.lit(PII_PHONE_RE), F.lit(0))
+        ).alias("n_phones"),
         F.md5(clean).alias("scrubbed_fp"),
     )
 

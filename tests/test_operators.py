@@ -430,6 +430,36 @@ class TestConnectedComponents:
         assert out.columns == ["doc_id", "cluster_id", "cluster_size", "is_keeper"]
         assert out.count() == 0
 
+    def test_nonconvergence_raises(self, spark):
+        """Exhausting max_iter must raise, never silently return partial
+        labels (split clusters would each elect a keeper and silently
+        under-deduplicate)."""
+        import pytest
+
+        from nimbus_crawler_spark.operators.graph import connected_components
+
+        edges = spark.createDataFrame([(i, i + 1) for i in range(63)], "a long, b long")
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(edges, max_iter=1)
+
+    def test_cluster_size_is_aggregate_not_window(self, spark):
+        """cluster_size must come from a map-side-combinable HashAggregate +
+        join, never Window.partitionBy(comp): a window buffers an entire
+        component in one task, and web-scale near-dup graphs contain one
+        giant boilerplate component that would OOM it."""
+        from nimbus_crawler_spark.operators.graph import dedup_clusters
+
+        import io
+        from contextlib import redirect_stdout
+
+        pairs = spark.createDataFrame([(7, 3), (3, 9)], "a long, b long")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            dedup_clusters(pairs).explain("formatted")
+        plan = buf.getvalue()
+        assert "Window" not in plan
+        assert "HashAggregate" in plan
+
 
 class TestDecontaminate:
     def test_flags_overlapping_train_docs(self, spark):
@@ -471,3 +501,28 @@ class TestPiiScrub:
         expected = "reach me at <EMAIL> or <PHONE> thanks"
         assert rows[0]["scrubbed_fp"] == hashlib.md5(expected.encode()).hexdigest()
         assert rows[1]["scrubbed_fp"] == hashlib.md5(b"no pii here").hexdigest()
+
+    def test_phone_inside_email_not_double_counted(self, spark):
+        """Counts must agree with the redaction: a phone-shaped substring in
+        an email local part is consumed by the email redaction (which runs
+        first), so it is 1 email and 0 phones — the output contains only
+        <EMAIL>."""
+        import hashlib
+
+        from nimbus_crawler_spark.operators.textstats import pii_scrub
+
+        docs = spark.createDataFrame(
+            [(0, "mail user+1-234-567-8901@x.com and dial +1-234-567-8901")],
+            "doc_id long, text string",
+        )
+        row = pii_scrub(docs).collect()[0]
+        assert (row["n_emails"], row["n_phones"]) == (1, 1)
+        expected = "mail <EMAIL> and dial <PHONE>"
+        assert row["scrubbed_fp"] == hashlib.md5(expected.encode()).hexdigest()
+
+        only_email = spark.createDataFrame(
+            [(0, "mail user+1-234-567-8901@x.com bye")], "doc_id long, text string"
+        )
+        row = pii_scrub(only_email).collect()[0]
+        assert (row["n_emails"], row["n_phones"]) == (1, 0)
+        assert row["scrubbed_fp"] == hashlib.md5(b"mail <EMAIL> bye").hexdigest()
