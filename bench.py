@@ -550,6 +550,26 @@ def run_scaling_phase() -> None:
     def env_probe() -> tuple[float, float]:
         return steal_rate(), bw_gbps()
 
+    def settled_probe() -> tuple[float, float]:
+        """Post-run probe: steal rate plus the BEST of ≤3 bw readings 5 s
+        apart. A single memcpy reading taken within ~30 s of a rep's
+        subprocess exiting can catch the kernel writing back the rep's own
+        page-cache exhaust (measured on a quiet host: a 3 GB-write child
+        exits, readings go 4.5 → 4.6 → 1.8 → 4.7 GB/s as the ~5 s-delayed
+        writeback burst passes through) — self-noise, not host weather. A
+        real storm depresses ALL readings; writeback only some, so best-of
+        separates them. Early-exits once a reading clears bw_thresh; still
+        counter-based and outcome-independent (never reads throughput).
+        Worst case +10 s per rep, only paid when the first reading is low."""
+        rate = steal_rate()
+        best = bw_gbps()
+        for _ in range(2):
+            if best >= bw_thresh:
+                break
+            time.sleep(5)
+            best = max(best, bw_gbps())
+        return rate, best
+
     def quiet_gate(wait_budget: float, cap_mult: float = 1.0) -> tuple[float, float]:
         """Wait (bounded) for a quiet host window; returns the last probe.
 
@@ -616,7 +636,9 @@ def run_scaling_phase() -> None:
                 f"≤{gate_wait_max:.0f}s ×2^consecutive-invalid at that "
                 f"level; sample valid iff during-run steal "
                 f"≤ {valid_steal}/s AND pre/post bw probes ≥ {bw_thresh} "
-                f"GB/s; corpus picked by a storm-corpus pathfinder rep, "
+                f"GB/s (post = best of ≤3 readings 5 s apart: post-exit "
+                f"writeback of the rep's own exhaust is self-noise, not "
+                f"weather); corpus picked by a storm-corpus pathfinder rep, "
                 f"base schedule L,H,H,H,L with no inline retries, "
                 f"then a retry pass: high until {reps_high} valid or budget "
                 f"out, low only if no valid low sample; retries unused: "
@@ -730,7 +752,7 @@ def run_scaling_phase() -> None:
             return "crashed"
         _CHILD = None
         rep_wall = time.monotonic() - t_rep
-        post_rate, post_bw = env_probe()
+        post_rate, post_bw = settled_probe()
         line = out_s.strip().splitlines()[-1] if out_s.strip() else ""
         if not line.startswith("{"):
             print(f"scalerun {m} failed: {err_s[-500:]}", file=sys.stderr)
