@@ -21,8 +21,11 @@ Scale design (the reason this is a driver loop, not a recursive SQL):
   closure is ever materialized (the SQL-oracle formulation materializes
   O(sum |C|^2) reachability rows, fine at test scale, fatal at 10^10 docs);
 * labels monotonically decrease, so convergence ("no row changed this
-  round") is a well-founded fixpoint, checked with a LIMIT-1 existence job
-  (short-circuits at the first changed row rather than counting all);
+  round") is a well-founded fixpoint, detected for FREE: the pre-round label
+  rides through hook+jump as a column and an ``Observation`` counts changed
+  rows during the very job that materializes the round's checkpoint — no
+  dedicated probe job, no join against the previous label table (which cost
+  one extra pass over all labels per round);
 * every round ends in ``localCheckpoint`` — the plan would otherwise grow
   by two joins per round and re-plan the whole history each action (the
   standard iterative-algorithm lineage trap).
@@ -67,6 +70,8 @@ def connected_components(
         .select(F.col("u").alias("node"), F.col("u").alias("comp"))
         .localCheckpoint(eager=True)
     )
+    from pyspark.sql import Observation
+
     for _ in range(max_iter):
         # hook: comp(v) <- min(comp(v), min over neighbors' comp)
         nmin = (
@@ -78,10 +83,16 @@ def connected_components(
             .withColumnRenamed("u", "node")
         )
         # pinned: the jump self-join consumes hooked TWICE — unpinned, the
-        # neighbor-min aggregation above would execute once per join side
+        # neighbor-min aggregation above would execute once per join side.
+        # The pre-round label rides along as `old` so the fixpoint check
+        # never needs to join back to the previous label table.
         hooked = (
             labels.join(nmin, "node", "left")
-            .select("node", F.least("comp", F.coalesce("_nmin", "comp")).alias("comp"))
+            .select(
+                "node",
+                F.col("comp").alias("old"),
+                F.least("comp", F.coalesce("_nmin", "comp")).alias("comp"),
+            )
             .localCheckpoint(eager=True)
         )
         # jump: comp(v) <- comp(comp(v)) — path halving; comp values are
@@ -95,19 +106,23 @@ def connected_components(
                 F.col("l.comp") == F.col("r._c"),
                 "left",
             )
-            .select(F.col("l.node").alias("node"), F.coalesce("_cc", "l.comp").alias("comp"))
+            .select(
+                F.col("l.node").alias("node"),
+                F.coalesce("_cc", "l.comp").alias("comp"),
+                F.col("l.old").alias("old"),
+            )
         )
-        # jumped reads only checkpointed inputs; pin it too so the
-        # convergence probe and the next round plan against stored rows
-        new_labels = jumped.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        # jumped reads only checkpointed inputs; pin it so the next round
+        # plans against stored rows. The convergence count rides the SAME
+        # materialization job as an Observation (labels only decrease, so
+        # "any comp != its pre-round value" is exactly "not yet a fixpoint")
+        # — the probe is free instead of one extra labels-pass per round.
+        obs = Observation()
+        new_labels = jumped.observe(
+            obs, F.count_if(F.col("comp") != F.col("old")).alias("changed")
+        ).localCheckpoint(eager=True)
+        changed = obs.get["changed"]
+        labels = new_labels.select("node", "comp")
         if changed == 0:
             return labels
     raise RuntimeError(
