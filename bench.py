@@ -40,6 +40,7 @@ import statistics
 import subprocess
 import sys
 import tempfile
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -452,8 +453,18 @@ def run_scaling_phase() -> None:
     marking as the real defense, an endless gate would just burn the budget
     sleeping (the round-3
     failure mode). A sample is VALID iff its during-run steal ≤ valid_steal
-    AND the bandwidth probes bracketing it (pre + post) both clear
-    bw_thresh. The base schedule runs with NO inline retries (securing one
+    AND the bandwidth probes bracketing it (pre + post) both clear bw_thresh
+    AND — when the rep ran long enough for ≥2 readings — the MEDIAN of
+    mid-run bandwidth probes (polled every ~20 s while the rep runs) clears
+    bw_thresh too. The mid-run criterion closes the one false-accept hole
+    the bracketing probes left: a round-5 rehearsal recorded an 8-core rep
+    that walled 244 s (~2× quiet) under co-tenant bandwidth contention that
+    started after the pre-probe and ended before the post-probe — during-run
+    steal 1.6/s, brackets 4.9/4.0 GB/s, sample "valid", efficiency 0.621
+    unflagged. The median (never the min) is what's tested so the rep's own
+    page-cache writeback — a known ~5 s self-noise dip, see settled_probe —
+    cannot false-reject a quiet rep (calibration on a quiet host: mid-run
+    readings median 5.07, min 2.78 GB/s, rep throughput undisturbed). The base schedule runs with NO inline retries (securing one
     sample per level first, so an efficiency record always exists); a retry
     pass then backfills validity from bounded per-level budgets (a crashed
     subprocess consumes a retry and is recorded in the samples log — never
@@ -638,7 +649,10 @@ def run_scaling_phase() -> None:
                 f"≤ {valid_steal}/s AND pre/post bw probes ≥ {bw_thresh} "
                 f"GB/s (post = best of ≤3 readings 5 s apart: post-exit "
                 f"writeback of the rep's own exhaust is self-noise, not "
-                f"weather); corpus picked by a storm-corpus pathfinder rep, "
+                f"weather) AND, with ≥2 mid-run bw readings (polled every "
+                f"~20 s), their median ≥ {bw_thresh} GB/s (median not min: "
+                f"one reading can be the rep's own writeback dip); corpus "
+                f"picked by a storm-corpus pathfinder rep, "
                 f"base schedule L,H,H,H,L with no inline retries, "
                 f"then a retry pass: high until {reps_high} valid or budget "
                 f"out, low only if no valid low sample; retries unused: "
@@ -704,6 +718,34 @@ def run_scaling_phase() -> None:
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         _CHILD = proc
+        # mid-run bandwidth poller: one ~30 ms memcpy reading every ~20 s
+        # while the rep runs (the parent is otherwise blocked in
+        # communicate(); the probe thread schedules on host cores outside
+        # the child's pinned set — calibrated to not disturb the rep). The
+        # main thread only touches the shared probe buffers before start()
+        # and after join(), so the readings never race the gate probes.
+        bw_during: list[float] = []
+        _poll_stop = threading.Event()
+
+        def _poll_bw() -> None:
+            while not _poll_stop.wait(20.0):
+                bw_during.append(bw_gbps())
+
+        _poller = threading.Thread(target=_poll_bw, daemon=True)
+        _poller.start()
+
+        def _stop_poller() -> None:
+            _poll_stop.set()
+            _poller.join(timeout=30.0)
+
+        def _bw_during_fields() -> dict:
+            if not bw_during:
+                return {}
+            return {
+                "bw_during_median": round(statistics.median(bw_during), 2),
+                "bw_during_min": round(min(bw_during), 2),
+                "bw_during_n": len(bw_during),
+            }
         # Per-rep wall cap, outcome-independent (time + budget, never
         # throughput): a rep running past 2× its level's estimate is inside
         # a contention storm (dress rehearsal: a quiet-gated 8-core rep hit
@@ -735,6 +777,7 @@ def run_scaling_phase() -> None:
             proc.kill()
             out_s, err_s = proc.communicate()
             _CHILD = None
+            _stop_poller()
             rep_wall = time.monotonic() - t_rep
             samples.append(
                 {
@@ -743,6 +786,7 @@ def run_scaling_phase() -> None:
                     "rep_wall_sec": round(rep_wall, 1),
                     "aborted": f"wall_cap_{cap:.0f}s",
                     "corpus_hosts": corpus["hosts"],
+                    **_bw_during_fields(),
                     "valid": False,
                 }
             )
@@ -751,6 +795,7 @@ def run_scaling_phase() -> None:
             consec_invalid[m] += 1
             return "crashed"
         _CHILD = None
+        _stop_poller()
         rep_wall = time.monotonic() - t_rep
         post_rate, post_bw = settled_probe()
         line = out_s.strip().splitlines()[-1] if out_s.strip() else ""
@@ -763,6 +808,7 @@ def run_scaling_phase() -> None:
                     "rep_wall_sec": round(rep_wall, 1),
                     "error": (err_s or "no output")[-200:],
                     "corpus_hosts": corpus["hosts"],
+                    **_bw_during_fields(),
                     "valid": False,
                 }
             )
@@ -773,10 +819,17 @@ def run_scaling_phase() -> None:
         res = json.loads(line)
         r, p = res["round"], res.get("parse")
         rate_during = (r.get("steal_jiffies") or 0) / max(r["wall_sec"], 1.0)
+        # the mid-run criterion applies only with ≥2 readings: a single
+        # reading can be the rep's own writeback dip (self-noise), while a
+        # median over ≥2 requires the contention to persist across polls
+        bw_during_ok = (
+            len(bw_during) < 2 or statistics.median(bw_during) >= bw_thresh
+        )
         valid = (
             rate_during <= valid_steal
             and pre_bw >= bw_thresh
             and post_bw >= bw_thresh
+            and bw_during_ok
         )
         r["_valid"] = valid
         # refine the fit estimate from VALID walls only: a storm-inflated
@@ -798,6 +851,7 @@ def run_scaling_phase() -> None:
                 "bw_after": round(post_bw, 2),
                 "steal_rate_after": round(post_rate, 2),
                 "corpus_hosts": corpus["hosts"],
+                **_bw_during_fields(),
                 "valid": valid,
             }
         )
