@@ -32,6 +32,7 @@ itself — with output — even if the external cap is tighter than expected.
 
 from __future__ import annotations
 
+import faulthandler
 import json
 import os
 import shutil
@@ -42,6 +43,12 @@ import sys
 import tempfile
 import threading
 import time
+
+# a hard crash (SIGSEGV/SIGBUS/SIGABRT in a native lib) is the one exit the
+# incremental-output machinery cannot intercept — at least leave a stderr
+# traceback saying where (observed once: a rehearsal died silently mid-query
+# with zero stdout and no kernel OOM record)
+faulthandler.enable()
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
