@@ -713,8 +713,12 @@ def run_scaling_phase() -> None:
             remaining() - est[m] - RESERVE, cap_mult=2.0 ** consec_invalid[m]
         )
         # the parse-stage probe costs ~25 s per low-level run: probe until
-        # one probe lands inside a VALID rep (≤3 attempts), then stop
-        with_parse = allow_parse and parse_probes[m] < 1 and probe_attempts[m] < 3
+        # TWO probes land inside VALID reps (≤3 attempts), then stop. Two,
+        # not one, because the estimator is keep-max and a single probe can
+        # straddle a bandwidth dip inside an otherwise-valid rep (observed:
+        # a probe inside a valid-but-weakest rep recorded parse efficiency
+        # 0.278 against the 0.89-0.99 clean-weather range)
+        with_parse = allow_parse and parse_probes[m] < 2 and probe_attempts[m] < 3
         probe_attempts[m] += 1 if with_parse else 0
         renv = {**env, "NIMBUS_SCALE_PARSE": "1" if with_parse else "0"}
         t_rep = time.monotonic()
