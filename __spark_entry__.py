@@ -565,6 +565,44 @@ def _q_multimodal_raw_stats(spark, sf_dir):
 
 
 _MM_EXPECTED_PATH = "/tmp/nimbus-mm-expected-v1.parquet"
+_MM_RESIZE_PATH = "/tmp/nimbus-mm-resize-v1.parquet"
+_MM_FRAMES_PATH = "/tmp/nimbus-mm-frames-v1.parquet"
+
+
+def _q_multimodal_resize(spark, sf_dir):
+    """Deterministic area/block-mean image resize (the tensor-prep step of
+    an image training pipeline) over the real-BMP fixture payloads; the
+    oracle reads expected grids recomputed from the generative arrays with
+    plain-Python loops (sources/media_fixture.py) — numpy slice-sum vs
+    pure-Python math, exact integer semantics."""
+    from nimbus_crawler_spark.operators.multimodal import MEDIA_SCHEMA, resize_images
+    from nimbus_crawler_spark.sources.media_fixture import fixture_media_rows
+
+    _ensure(spark)
+    media = spark.createDataFrame(fixture_media_rows(), MEDIA_SCHEMA)
+    out = resize_images(media, out_w=8, out_h=8)
+    return out.select(
+        "media_id",
+        "src_w",
+        "src_h",
+        "out_w",
+        "out_h",
+        F.concat_ws(",", F.transform("pixels", lambda x: x.cast("string"))).alias("pixels_csv"),
+        "mean_lum",
+    )
+
+
+def _q_multimodal_frame_sample(spark, sf_dir):
+    """Uniform frame sampling (k=4) across all three fixture containers
+    (BMP single frame, WAV channel-frames, raw 256-byte blocks) — the
+    frame-selection half of a video/audio curation pipeline. Oracle:
+    plain-Python expected rows from the generative arrays."""
+    from nimbus_crawler_spark.operators.multimodal import MEDIA_SCHEMA, sample_frames
+    from nimbus_crawler_spark.sources.media_fixture import fixture_media_rows
+
+    _ensure(spark)
+    media = spark.createDataFrame(fixture_media_rows(), MEDIA_SCHEMA)
+    return sample_frames(media, k=4)
 
 
 def _q_multimodal_decode(spark, sf_dir):
@@ -643,6 +681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_raw_stats": _q_multimodal_raw_stats,
         "multimodal_features": _q_multimodal_features,
         "multimodal_decode": _q_multimodal_decode,
+        "multimodal_resize": _q_multimodal_resize,
+        "multimodal_frame_sample": _q_multimodal_frame_sample,
         # rows-only (a multi-round loop, not one SQL statement)
         "crawl_smoke": _q_crawl_smoke,
     }
@@ -742,9 +782,15 @@ def oracle_sql() -> dict[str, str]:
     # features — written (idempotently) here so it exists before the driver
     # executes the SQL; content is a pure function of the id range, never of
     # the scale factor
-    from nimbus_crawler_spark.sources.media_fixture import write_expected_parquet
+    from nimbus_crawler_spark.sources.media_fixture import (
+        write_expected_frames_parquet,
+        write_expected_parquet,
+        write_expected_resize_parquet,
+    )
 
     write_expected_parquet(_MM_EXPECTED_PATH)
+    write_expected_resize_parquet(_MM_RESIZE_PATH)
+    write_expected_frames_parquet(_MM_FRAMES_PATH)
     return {
         "frontier_priority_topk": """
 SELECT o_orderkey, o_orderpriority FROM orders
@@ -1235,5 +1281,15 @@ FROM m JOIN ent USING (media_id)
 SELECT media_id, kind, format, n_bytes, byte_entropy, hist_csv,
        frames_sampled, width, height, sample_rate, duration_s
 FROM read_parquet('{_MM_EXPECTED_PATH}')
+""",
+        # block-mean resize grids recomputed with plain-Python loops
+        "multimodal_resize": f"""
+SELECT media_id, src_w, src_h, out_w, out_h, pixels_csv, mean_lum
+FROM read_parquet('{_MM_RESIZE_PATH}')
+""",
+        # uniform frame samples recomputed with plain-Python math
+        "multimodal_frame_sample": f"""
+SELECT media_id, kind, format, n_frames, frame_idx, frame_val, window_mean
+FROM read_parquet('{_MM_FRAMES_PATH}')
 """,
     }

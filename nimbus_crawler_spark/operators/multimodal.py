@@ -86,10 +86,11 @@ def _decode_raw(payload: bytes, kind: str) -> dict:
     }
 
 
-def _decode_bmp(payload: bytes) -> dict | None:
-    """Uncompressed 24/32-bit BMP: header parse + luminance statistics.
+def _bmp_lum(payload: bytes) -> tuple[np.ndarray, int, int] | None:
+    """Uncompressed 24/32-bit BMP → (luminance grid [rows×width], w, h).
 
-    Returns None if the buffer is not a decodable BMP (caller falls back)."""
+    Returns None if the buffer is not a decodable BMP. Shared by the stats
+    decode and the resize path so both see identical pixel numerics."""
     if len(payload) < 54 or payload[:2] != b"BM":
         return None
     data_off, = struct.unpack_from("<I", payload, 10)
@@ -114,6 +115,17 @@ def _decode_bmp(payload: bytes) -> dict | None:
         + px[:, :, 1].astype(np.uint32) * 587
         + px[:, :, 0].astype(np.uint32) * 114
     ) // 1000
+    return lum, int(width), int(rows)
+
+
+def _decode_bmp(payload: bytes) -> dict | None:
+    """Uncompressed 24/32-bit BMP: header parse + luminance statistics.
+
+    Returns None if the buffer is not a decodable BMP (caller falls back)."""
+    decoded = _bmp_lum(payload)
+    if decoded is None:
+        return None
+    lum, width, rows = decoded
     hist, entropy = _hist_entropy(lum.astype(np.uint8).ravel())
     return {
         "format": "bmp",
@@ -208,6 +220,184 @@ def extract_features(media: DataFrame, codec: str = "auto") -> DataFrame:
             )
 
     return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("src_w", T.IntegerType(), False),
+        T.StructField("src_h", T.IntegerType(), False),
+        T.StructField("out_w", T.IntegerType(), False),
+        T.StructField("out_h", T.IntegerType(), False),
+        T.StructField("pixels", T.ArrayType(T.IntegerType()), False),  # row-major lum
+        T.StructField("mean_lum", T.LongType(), False),                # floor mean
+    ]
+)
+
+
+def _block_mean_resize(lum: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Area (block-mean) resample with integer-floor semantics.
+
+    Output cell (i,j) averages input rows [i·h//oh, (i+1)·h//oh) ×
+    cols [j·w//ow, (j+1)·w//ow) (ranges widened to ≥1 when upscaling),
+    value = sum // count — exact integer math so the result is bit-checkable
+    against a plain-Python oracle. The per-cell loop is over the OUTPUT grid
+    (e.g. 64 cells for 8×8) with numpy slice-sums inside — the per-image
+    cost is O(pixels), not O(cells·pixels)."""
+    h, w = lum.shape
+    out = np.empty((out_h, out_w), dtype=np.int64)
+    lum64 = lum.astype(np.int64)
+    for i in range(out_h):
+        r0 = (i * h) // out_h
+        r1 = max(((i + 1) * h) // out_h, r0 + 1)
+        for j in range(out_w):
+            c0 = (j * w) // out_w
+            c1 = max(((j + 1) * w) // out_w, c0 + 1)
+            block = lum64[r0:r1, c0:c1]
+            out[i, j] = int(block.sum()) // block.size
+    return out
+
+
+def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Deterministic image resize (area / block-mean) over binary BMP columns.
+
+    Emits one row per DECODABLE image payload: the resized luminance grid as
+    a flat row-major ``array<int>`` plus its floor-mean — the typed,
+    fixed-size tensor shape a training pipeline feeds downstream (swap the
+    luminance grid for RGB channels / float32 when a real codec library is
+    plugged into ``_bmp_lum``). Non-decodable payloads produce no row (a
+    production pipeline would route them to a quarantine sink).
+
+    Scale: ``mapInPandas`` over Arrow batches on the scan partitions — the
+    image bytes never shuffle; only the (out_w·out_h)-int rows move.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {k.name: [] for k in RESIZE_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                decoded = _bmp_lum(bytes(payload))
+                if decoded is None:
+                    continue
+                lum, w, h = decoded
+                resized = _block_mean_resize(lum, out_w, out_h)
+                rows["media_id"].append(mid)
+                rows["src_w"].append(w)
+                rows["src_h"].append(h)
+                rows["out_w"].append(out_w)
+                rows["out_h"].append(out_h)
+                rows["pixels"].append(resized.ravel().astype(int).tolist())
+                rows["mean_lum"].append(int(resized.sum()) // resized.size)
+            # a batch with no decodable image yields nothing: an empty
+            # pandas frame's untyped object columns break Arrow's
+            # list<int> conversion, and mapInPandas permits zero yields
+            if rows["media_id"]:
+                yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("format", T.StringType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_val", T.IntegerType(), False),     # first value, uint8
+        T.StructField("window_mean", T.IntegerType(), False),   # floor mean, ≤16 vals
+    ]
+)
+
+
+def _uniform_indices(n: int, k: int) -> list[int]:
+    """k uniformly-spaced frame indices over [0, n) — every index distinct;
+    when n < k this degrades to all n indices (never a repeated frame)."""
+    if n <= 0:
+        return []
+    return sorted({(t * n) // k for t in range(k)})
+
+
+def sample_frames(media: DataFrame, k: int = 4) -> DataFrame:
+    """Uniform frame sampling over binary media columns (the decode-side
+    half of a video/audio training pipeline: pick K representative frames,
+    featurize each).
+
+    Frame semantics per container: WAV → one frame per channel-frame
+    (value = first channel, int16→uint8 transform shared with the decoder);
+    raw/video → one frame per 256-byte block; BMP image → a single frame of
+    the whole luminance grid. Each sampled frame emits its first value and
+    the floor-mean of a ≤16-value window — integer math end-to-end so the
+    rows are bit-checkable against a plain-Python oracle.
+
+    Scale: same ``mapInPandas`` shape as ``extract_features`` — media bytes
+    stay on the scan partitions; k typed rows per payload move on.
+    """
+
+    def frame_rows(payload: bytes, kind: str) -> tuple[str, int, list[tuple[int, int, int]]]:
+        decoded = _bmp_lum(payload) if payload[:2] == b"BM" else None
+        if decoded is not None:
+            lum, _w, _h = decoded
+            flat = lum.astype(np.int64).ravel()
+            return "bmp", 1, [(0, int(flat[0]), int(flat.sum()) // flat.size)]
+        wav = _decode_wav(payload) if payload[:4] == b"RIFF" else None
+        if wav is not None:
+            # re-derive the uint8 sample stream exactly as the decoder does
+            pos, fmt, data = 12, None, None
+            while pos + 8 <= len(payload):
+                cid = payload[pos : pos + 4]
+                size, = struct.unpack_from("<I", payload, pos + 4)
+                if cid == b"fmt ":
+                    fmt = payload[pos + 8 : pos + 8 + size]
+                elif cid == b"data":
+                    data = payload[pos + 8 : pos + 8 + size]
+                pos += 8 + size + (size & 1)
+            _afmt, channels, _rate = struct.unpack_from("<HHI", fmt, 0)
+            bits, = struct.unpack_from("<H", fmt, 14)
+            if bits == 8:
+                vals = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+            else:
+                vals = (
+                    np.frombuffer(
+                        data[: len(data) - (len(data) % 2)], dtype="<i2"
+                    ).astype(np.int64)
+                    // 256
+                    + 128
+                )
+            n = int(vals.size) // channels
+            out = []
+            for idx in _uniform_indices(n, k):
+                first = int(vals[idx * channels])
+                win = vals[idx * channels : (idx + 16) * channels : channels][:16]
+                out.append((idx, first, int(win.sum()) // win.size))
+            return "wav", n, out
+        arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+        n = max(1, arr.size // 256) if kind != "image" else 1
+        out = []
+        for idx in _uniform_indices(n, k if kind != "image" else 1):
+            block = arr[idx * 256 : (idx + 1) * 256]
+            if block.size == 0:
+                block = arr if arr.size else np.zeros(1, dtype=np.int64)
+            out.append((idx, int(block[0]), int(block.sum()) // block.size))
+        return "raw", n, out
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {f.name: [] for f in FRAME_SCHEMA.fields}
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                fmt, n, frames = frame_rows(bytes(payload), kind)
+                for idx, first, wmean in frames:
+                    rows["media_id"].append(mid)
+                    rows["kind"].append(kind)
+                    rows["format"].append(fmt)
+                    rows["n_frames"].append(min(n, 2**31 - 1))
+                    rows["frame_idx"].append(idx)
+                    rows["frame_val"].append(first)
+                    rows["window_mean"].append(wmean)
+            if rows["media_id"]:
+                yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, FRAME_SCHEMA)
 
 
 def media_from_documents(docs: DataFrame) -> DataFrame:

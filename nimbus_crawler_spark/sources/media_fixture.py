@@ -133,6 +133,134 @@ def fixture_expected_rows(n: int = FIXTURE_N) -> list[dict]:
     return out
 
 
+def _expected_lum(i: int) -> tuple[list[list[int]], int, int]:
+    """Plain-Python luminance grid for BMP fixture id ``i`` (storage order),
+    recomputed from the generative array — shared by the decode, resize, and
+    frame-sample expectations."""
+    w, h = _bmp_dims(i)
+    stride = ((w * 3 + 3) // 4) * 4
+    px = np.random.default_rng(i).integers(0, 256, size=(h, stride), dtype=np.uint8)
+    lum = [
+        [
+            (int(px[y, 3 * x + 2]) * 299 + int(px[y, 3 * x + 1]) * 587 + int(px[y, 3 * x]) * 114)
+            // 1000
+            for x in range(w)
+        ]
+        for y in range(h)
+    ]
+    return lum, w, h
+
+
+def fixture_expected_resize_rows(out_w: int = 8, out_h: int = 8, n: int = FIXTURE_N) -> list[dict]:
+    """Expected block-mean resize rows for the BMP fixture ids — plain-Python
+    loops, independent of the operator's numpy slice-sums."""
+    out = []
+    for i in range(0, n, 3):
+        lum, w, h = _expected_lum(i)
+        cells = []
+        for oi in range(out_h):
+            r0 = (oi * h) // out_h
+            r1 = max(((oi + 1) * h) // out_h, r0 + 1)
+            for oj in range(out_w):
+                c0 = (oj * w) // out_w
+                c1 = max(((oj + 1) * w) // out_w, c0 + 1)
+                vals = [lum[y][x] for y in range(r0, r1) for x in range(c0, c1)]
+                cells.append(sum(vals) // len(vals))
+        out.append(
+            {
+                "media_id": i, "src_w": w, "src_h": h, "out_w": out_w,
+                "out_h": out_h,
+                "pixels_csv": ",".join(str(v) for v in cells),
+                "mean_lum": sum(cells) // len(cells),
+            }
+        )
+    return out
+
+
+def _expected_frame_indices(n: int, k: int) -> list[int]:
+    return sorted({(t * n) // k for t in range(k)}) if n > 0 else []
+
+
+def fixture_expected_frames_rows(k: int = 4, n: int = FIXTURE_N) -> list[dict]:
+    """Expected uniform-frame-sample rows for every fixture id (BMP single
+    frame; WAV channel-frames; raw 256-byte blocks) — plain-Python math."""
+    out = []
+    for i in range(n):
+        if i % 3 == 0:
+            lum, w, h = _expected_lum(i)
+            flat = [v for row in lum for v in row]
+            rows = [("image", "bmp", 1, 0, flat[0], sum(flat) // len(flat))]
+        elif i % 3 == 1:
+            frames, _rate = _wav_params(i)
+            samples = np.random.default_rng(i).integers(
+                -(2**15), 2**15, size=frames, dtype=np.int16
+            )
+            vals = [int(s) // 256 + 128 for s in samples]
+            rows = []
+            for idx in _expected_frame_indices(frames, k):
+                win = vals[idx : idx + 16]
+                rows.append(("audio", "wav", frames, idx, vals[idx], sum(win) // len(win)))
+        else:
+            payload = list(_raw_payload(i))
+            nfr = max(1, len(payload) // 256)
+            rows = []
+            for idx in _expected_frame_indices(nfr, k):
+                block = payload[idx * 256 : (idx + 1) * 256] or payload or [0]
+                rows.append(("video", "raw", nfr, idx, block[0], sum(block) // len(block)))
+        for kind, fmt, nfr, idx, first, wmean in rows:
+            out.append(
+                {
+                    "media_id": i, "kind": kind, "format": fmt, "n_frames": nfr,
+                    "frame_idx": idx, "frame_val": first, "window_mean": wmean,
+                }
+            )
+    return out
+
+
+def _write_rows_parquet(path: str, rows: list[dict], schema) -> str:
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        return path
+    names = [f.name for f in schema]
+    table = pa.Table.from_pydict(
+        {name: [r[name] for r in rows] for name in names}, schema=schema
+    )
+    tmp = f"{path}.tmp-{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def write_expected_resize_parquet(path: str, n: int = FIXTURE_N) -> str:
+    import pyarrow as pa
+
+    schema = pa.schema(
+        [
+            ("media_id", pa.int64()), ("src_w", pa.int32()), ("src_h", pa.int32()),
+            ("out_w", pa.int32()), ("out_h", pa.int32()),
+            ("pixels_csv", pa.string()), ("mean_lum", pa.int64()),
+        ]
+    )
+    return _write_rows_parquet(path, fixture_expected_resize_rows(n=n), schema)
+
+
+def write_expected_frames_parquet(path: str, n: int = FIXTURE_N) -> str:
+    import pyarrow as pa
+
+    schema = pa.schema(
+        [
+            ("media_id", pa.int64()), ("kind", pa.string()), ("format", pa.string()),
+            ("n_frames", pa.int32()), ("frame_idx", pa.int32()),
+            ("frame_val", pa.int32()), ("window_mean", pa.int32()),
+        ]
+    )
+    return _write_rows_parquet(path, fixture_expected_frames_rows(n=n), schema)
+
+
 def write_expected_parquet(path: str, n: int = FIXTURE_N) -> str:
     """Write the expected-features fixture as ONE parquet file (idempotent)
     with explicit types matching the Spark gate's output schema."""

@@ -361,6 +361,69 @@ class TestMediaFixture:
         assert write_expected_parquet(p) == p  # no rewrite
         assert __import__("os").path.getmtime(p) == mtime
 
+    def test_resize_matches_independent_expected(self, spark):
+        """Spark block-mean resize (numpy slice sums) must equal the
+        plain-Python expected grids exactly — integer semantics, no float
+        resampling ambiguity."""
+        from nimbus_crawler_spark.operators.multimodal import MEDIA_SCHEMA, resize_images
+        from nimbus_crawler_spark.sources.media_fixture import (
+            fixture_expected_resize_rows,
+            fixture_media_rows,
+        )
+
+        media = spark.createDataFrame(fixture_media_rows(12), MEDIA_SCHEMA)
+        got = {r["media_id"]: r for r in resize_images(media, 8, 8).collect()}
+        exp = {e["media_id"]: e for e in fixture_expected_resize_rows(n=12)}
+        assert set(got) == set(exp)  # one row per decodable BMP, none else
+        for mid, e in exp.items():
+            g = got[mid]
+            assert (g["src_w"], g["src_h"]) == (e["src_w"], e["src_h"])
+            assert ",".join(map(str, g["pixels"])) == e["pixels_csv"]
+            assert g["mean_lum"] == e["mean_lum"]
+            assert len(g["pixels"]) == 64
+
+    def test_resize_upscale_and_downscale_cells_cover_input(self):
+        """Every output cell averages a non-empty input block, upscaling
+        included (3x2 -> 8x8 must not divide by zero or skip pixels)."""
+        import numpy as np
+
+        from nimbus_crawler_spark.operators.multimodal import _block_mean_resize
+
+        lum = np.arange(6, dtype=np.uint32).reshape(2, 3) * 40
+        up = _block_mean_resize(lum, 8, 8)
+        assert up.shape == (8, 8) and up.min() >= 0 and up.max() <= 200
+        down = _block_mean_resize(np.full((64, 64), 7, dtype=np.uint32), 8, 8)
+        assert (down == 7).all()
+
+    def test_frame_sampling_matches_independent_expected(self, spark):
+        from nimbus_crawler_spark.operators.multimodal import MEDIA_SCHEMA, sample_frames
+        from nimbus_crawler_spark.sources.media_fixture import (
+            fixture_expected_frames_rows,
+            fixture_media_rows,
+        )
+
+        media = spark.createDataFrame(fixture_media_rows(9), MEDIA_SCHEMA)
+        got = sorted(
+            (tuple(r) for r in sample_frames(media, k=4).collect())
+        )
+        exp = sorted(
+            (
+                (e["media_id"], e["kind"], e["format"], e["n_frames"],
+                 e["frame_idx"], e["frame_val"], e["window_mean"])
+                for e in fixture_expected_frames_rows(k=4, n=9)
+            )
+        )
+        assert got == exp
+
+    def test_uniform_indices_distinct_and_cover(self):
+        from nimbus_crawler_spark.operators.multimodal import _uniform_indices
+
+        assert _uniform_indices(100, 4) == [0, 25, 50, 75]
+        assert _uniform_indices(3, 4) == [0, 1, 2]  # n < k: every frame once
+        assert _uniform_indices(0, 4) == []
+        idx = _uniform_indices(7, 4)
+        assert len(idx) == len(set(idx)) and all(0 <= i < 7 for i in idx)
+
 
 class TestGlobalRowNumberExchangeReuse:
     def test_ordinals_correct_with_exchange_reuse_disabled(self, spark):
