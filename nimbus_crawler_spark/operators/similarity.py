@@ -34,6 +34,33 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _topk_per_group(
+    scored: DataFrame, group_col: str, order_cols: list, k: int, rank_name: str = "rank"
+) -> DataFrame:
+    """Exact per-group top-k without funneling a whole group into one task.
+
+    A bare ``Window.partitionBy(group)`` buffers EVERY candidate of a group
+    in one window task — for brute-force scoring the group is the entire
+    corpus, and even bucketed/IVF probes meet skewed mega-buckets at web
+    scale (the same hazard class as the round-4 ``dedup_clusters`` window).
+    Phase 1 ranks within (group, input-partition) — each task bounded by the
+    scan split size — and keeps ≤k; phase 2 ranks the ≤ partitions·k
+    survivors per group. The result set is identical (total order with a
+    unique tie-break), both exchanges are plain hash shuffles, and no task
+    ever buffers more than max(split rows, partitions·k)."""
+    local = scored.withColumn("_pid", F.spark_partition_id())
+    w_local = Window.partitionBy(group_col, "_pid").orderBy(*order_cols)
+    pruned = (
+        local.withColumn("_lrn", F.row_number().over(w_local))
+        .where(F.col("_lrn") <= k)
+        .drop("_lrn", "_pid")
+    )
+    w_glob = Window.partitionBy(group_col).orderBy(*order_cols)
+    return pruned.withColumn(rank_name, F.row_number().over(w_glob)).where(
+        F.col(rank_name) <= k
+    )
+
+
 def cosine_topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -55,12 +82,9 @@ def cosine_topk_bruteforce(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("score", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "score")
-    )
+    return _topk_per_group(
+        scored, "query_id", [F.desc("score"), F.asc("neighbor_id")], k
+    ).select("query_id", "neighbor_id", "rank", "score")
 
 
 def sign_bucket(vec: Column, bits: int = 8, offset: int = 0) -> Column:
@@ -102,12 +126,9 @@ def cosine_topk_bucketed(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("score", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "score")
-    )
+    return _topk_per_group(
+        scored, "query_id", [F.desc("score"), F.asc("neighbor_id")], k
+    ).select("query_id", "neighbor_id", "rank", "score")
 
 
 def embedding_cosine_pairs(
@@ -203,12 +224,9 @@ def cosine_topk_ivf(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("score", F.round(cosine(F.col("_qv"), F.col("_nv")), 6))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cell", "rank", "score")
-    )
+    return _topk_per_group(
+        scored, "query_id", [F.desc("score"), F.asc("neighbor_id")], k
+    ).select("query_id", "neighbor_id", "cell", "rank", "score")
 
 
 def norm_stats_by_label(

@@ -22,7 +22,7 @@ Scale notes (the point of each design):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -106,12 +106,18 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
 
 
 def exact_dedup_keep_first(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """First-wins survivor set (analog of crawl content dedup D3)."""
-    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    """First-wins survivor set (analog of crawl content dedup D3).
+
+    ``min_by`` aggregate, not a per-hash window: a boilerplate document
+    duplicated 10^7-10^8 times would funnel its whole group (full text rows
+    included) into one window task. The aggregate buffers exactly ONE
+    candidate row per group per partition (map-side combinable); ``id_col``
+    is unique so the winner is deterministic and identical to
+    ``row_number()==1`` over ``orderBy(id_col)``."""
     return (
-        docs.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
+        docs.groupBy(F.md5(F.col(text_col)).alias("_h"))
+        .agg(F.min_by(F.struct(*docs.columns), F.col(id_col)).alias("_r"))
+        .select("_r.*")
     )
 
 

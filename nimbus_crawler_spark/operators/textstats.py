@@ -326,9 +326,12 @@ def curation_pipeline(
         & (F.col("quality_score") >= min_quality)
         & (F.col("top_bigram_frac") <= max_top_bigram_frac)
     )
-    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    # exact-dedup first-wins as a min_by aggregate (one buffered row per
+    # fingerprint per partition, map-side combinable) — a per-fingerprint
+    # window would single-task a 10^7-copy boilerplate group; id_col is
+    # unique so the winner equals row_number()==1 over orderBy(id_col)
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
+        scored.groupBy(F.col("fingerprint").alias("_fp"))
+        .agg(F.min_by(F.struct(*scored.columns), F.col(id_col)).alias("_r"))
+        .select("_r.*")
     )

@@ -21,7 +21,7 @@ Column pruning pushes the ``pages`` scan down to (url, html, lang) only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import CrawlConfig
@@ -317,16 +317,27 @@ def run_round(
         .distinct()
         .withColumn("_prior_dup", F.lit(True))
     )
-    w_hash = Window.partitionBy("content_hash").orderBy("crawl_seq")
     slim = ok_rows.select("url", "depth", "seq", "content_hash")
+    # first-wins content dedup WITHOUT a per-hash window: a boilerplate
+    # template fetched from 10^6+ mirror URLs in one round would funnel its
+    # whole hash group into one window task. The winner is the minimum
+    # (depth, seq) — the exact order crawl_seq ranks — so a map-side-
+    # combinable min aggregate joined back flags duplicates identically
+    # (one row per hash on the build side; AQE handles probe-side skew).
+    first_fetch = slim.groupBy("content_hash").agg(
+        F.min(F.struct("depth", "seq")).alias("_first")
+    )
     flags = _mat(
         global_row_number(
             slim, ["depth", "seq"], "crawl_seq",
             num_partitions=cfg.shuffle_partitions, start=fetched_total,
         )
-        .withColumn("_hash_rn", F.row_number().over(w_hash))
+        .join(first_fetch, "content_hash")
         .join(prior_hashes, "content_hash", "left")
-        .withColumn("dup_content", (F.col("_hash_rn") > 1) | F.col("_prior_dup").isNotNull())
+        .withColumn(
+            "dup_content",
+            (F.struct("depth", "seq") > F.col("_first")) | F.col("_prior_dup").isNotNull(),
+        )
         .select("url", "crawl_seq", "dup_content")
     )
     _tick("rank_dedup")
@@ -362,10 +373,21 @@ def run_round(
                 F.col("parent_seq") * F.lit(cfg.max_links_per_page) + F.col("pos") + 1,
             )
         )
-        w_child = Window.partitionBy("url").orderBy("depth", "seq")
+        # per-URL first-wins (D2 in-round half) as a min aggregate, not a
+        # window: a hub URL linked from every page of a large domain would
+        # put all its discovery rows in one window task. (depth, seq) is
+        # injective across parents (seq = parent_seq·M + pos), so the min
+        # struct is the exact row_number()==1 winner; host rides inside the
+        # struct (it is a function of url — any winner carries the same one).
         deduped = (
-            exploded.withColumn("_rn", F.row_number().over(w_child))
-            .where(F.col("_rn") == 1)
+            exploded.groupBy("url")
+            .agg(F.min(F.struct("depth", "seq", "host")).alias("_m"))
+            .select(
+                "url",
+                F.col("_m.host").alias("host"),
+                F.col("_m.depth").alias("depth"),
+                F.col("_m.seq").alias("seq"),
+            )
             .withColumn("url_hash", F.xxhash64("url"))
             .withColumn("bucket", F.pmod(F.xxhash64("url"), F.lit(cfg.state_buckets)).cast("int"))
         )
