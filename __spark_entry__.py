@@ -96,15 +96,13 @@ def _q_seen_antijoin(spark, sf_dir):
 
 
 def _q_content_dedup_first_wins(spark, sf_dir):
-    # D3: content-hash first-wins window
-    from pyspark.sql import Window
-
+    # D3: content-hash first-wins as a map-side-combinable min aggregate —
+    # never a per-hash window (a 10^7-copy boilerplate group would funnel
+    # into one window task; same hazard class swept from the engine in r5)
     docs = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     return (
-        docs.withColumn("content_hash", F.md5("text"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id", "content_hash")
     )
 
