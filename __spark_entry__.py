@@ -279,6 +279,27 @@ def _q_term_stats(spark, sf_dir):
     return term_stats(_t(spark, sf_dir, "documents"), top_k=100)
 
 
+# mixture gate weights: exercise all four predicate paths — keep-all
+# (rate ≥ 1), two fractional thresholds, keep-none (rate 0), and the
+# default rate for every unlisted source
+_MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
+_MIX_DEFAULT = 0.1
+
+
+def _q_mixture_sample(spark, sf_dir):
+    from nimbus_crawler_spark.operators.sampling import mixture_sample
+
+    return mixture_sample(
+        _t(spark, sf_dir, "documents"), _MIX_WEIGHTS, default_weight=_MIX_DEFAULT
+    )
+
+
+def _q_stratified_topk(spark, sf_dir):
+    from nimbus_crawler_spark.operators.sampling import stratified_topk
+
+    return stratified_topk(_t(spark, sf_dir, "documents"), k=5)
+
+
 def _q_dedup_clusters(spark, sf_dir):
     """Near-dup pairs → connected components → keep-one decision: the
     grouping step between LSH pair emission and survivor selection.
@@ -666,6 +687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": _q_repetition,
         "curation": _q_curation,
         "term_stats": _q_term_stats,
+        "mixture_sample": _q_mixture_sample,
+        "stratified_topk": _q_stratified_topk,
         "dedup_clusters": _q_dedup_clusters,
         "decontaminate": _q_decontaminate,
         "pii_scrub": _q_pii_scrub,
@@ -1035,6 +1058,46 @@ SELECT t.doc_id, len(t.tk) AS n_tokens,
   floor((CASE WHEN coalesce(a3.n, 0) > 0 THEN CAST(a3.n - a3.d AS DOUBLE) / a3.n ELSE 0 END) * 10000 + 0.5) / 10000 AS dup_trigram_frac
 FROM toks t
 LEFT JOIN a1 USING (doc_id) LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+""",
+        # thresholds are floor(rate·2^32) as fixed-width lowercase hex —
+        # string comparison ≡ numeric comparison (0.5→80000000,
+        # 0.25→40000000, default 0.1→19999999); src0 keep-all, src3 keep-none
+        "mixture_sample": r"""
+WITH s AS (
+  SELECT doc_id, source,
+    substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) AS sample_key
+  FROM documents)
+SELECT doc_id, source, sample_key FROM s
+WHERE CASE source
+  WHEN 'src0' THEN TRUE
+  WHEN 'src1' THEN sample_key < '80000000'
+  WHEN 'src2' THEN sample_key < '40000000'
+  WHEN 'src3' THEN FALSE
+  ELSE sample_key < '19999999' END
+""",
+        "stratified_topk": r"""
+WITH m AS (
+  SELECT doc_id, source,
+    len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS n_tokens,
+    len(list_distinct(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''))) AS n_distinct,
+    length(text) AS n_chars_m,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+    len(regexp_extract_all(lower(text), '\bthe\b')) + len(regexp_extract_all(lower(text), '\band\b'))
+      + len(regexp_extract_all(lower(text), '\bof\b')) + len(regexp_extract_all(lower(text), '\bis\b'))
+      + len(regexp_extract_all(lower(text), '\bwith\b')) AS stopword_hits
+  FROM documents),
+s AS (
+  SELECT doc_id, source,
+    floor((least(n_tokens / 50.0, 1.0) * 0.3
+      + floor((CASE WHEN n_chars_m > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars_m ELSE 0 END) * 10000 + 0.5) / 10000 * 0.3
+      + least(floor((CASE WHEN n_tokens > 0 THEN CAST(n_distinct AS DOUBLE) / n_tokens ELSE 0 END) * 10000 + 0.5) / 10000 * 2, 1.0) * 0.2
+      + least(stopword_hits / 5.0, 1.0) * 0.2) * 10000 + 0.5) / 10000 AS quality_score
+  FROM m),
+r AS (
+  SELECT doc_id, source, quality_score,
+    row_number() OVER (PARTITION BY source ORDER BY quality_score DESC, doc_id) AS "rank"
+  FROM s)
+SELECT doc_id, source, quality_score, "rank" FROM r WHERE "rank" <= 5
 """,
         "term_stats": r"""
 WITH toks AS (

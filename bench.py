@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "lang_id",
     "token_counts",
     "term_stats",
+    "mixture_sample",
+    "stratified_topk",
     "fingerprints",
     "canonicalize",
     "extract_roundtrip",

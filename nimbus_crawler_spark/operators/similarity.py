@@ -34,29 +34,31 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
-def _topk_per_group(
+def topk_per_group(
     scored: DataFrame, group_col: str, order_cols: list, k: int, rank_name: str = "rank"
 ) -> DataFrame:
-    """Exact per-group top-k without funneling a whole group into one task.
+    """Exact per-group top-k with bounded task buffers and ONE exchange.
 
-    A bare ``Window.partitionBy(group)`` buffers EVERY candidate of a group
-    in one window task — for brute-force scoring the group is the entire
-    corpus, and even bucketed/IVF probes meet skewed mega-buckets at web
-    scale (the same hazard class as the round-4 ``dedup_clusters`` window).
-    Phase 1 ranks within (group, input-partition) — each task bounded by the
-    scan split size — and keeps ≤k; phase 2 ranks the ≤ partitions·k
-    survivors per group. The result set is identical (total order with a
-    unique tie-break), both exchanges are plain hash shuffles, and no task
-    ever buffers more than max(split rows, partitions·k)."""
-    local = scored.withColumn("_pid", F.spark_partition_id())
-    w_local = Window.partitionBy(group_col, "_pid").orderBy(*order_cols)
-    pruned = (
-        local.withColumn("_lrn", F.row_number().over(w_local))
-        .where(F.col("_lrn") <= k)
-        .drop("_lrn", "_pid")
-    )
-    w_glob = Window.partitionBy(group_col).orderBy(*order_cols)
-    return pruned.withColumn(rank_name, F.row_number().over(w_glob)).where(
+    The mega-group window hazard (a bare window buffering every candidate of
+    a group — for brute-force ANN the group is the entire corpus) does NOT
+    apply to rank-filtered windows on Spark ≥ 3.5: Catalyst's
+    ``InferWindowGroupLimit`` (SPARK-37099) plants a map-side
+    ``WindowGroupLimit`` BELOW the exchange, pruning each input partition to
+    its per-group top-k before any row hits the wire, and a reduce-side one
+    above it — so the window task buffers ≤ input_partitions·k rows per
+    group, never the whole group. That is exactly the hand-rolled
+    two-phase (rank within (group, partition) → re-rank survivors) this
+    helper previously implemented — with one exchange instead of two, and
+    the big scored intermediate pruned BEFORE its only shuffle instead of
+    after. ``tests/test_operators.py`` pins the map-side WindowGroupLimit
+    in the physical plan so a regression (or an optimizer behavior change)
+    fails loudly rather than silently reintroducing the OOM shape.
+
+    Requires a rank-like function with a ``rank <= k`` predicate directly
+    above the window (the pattern the rule matches) and a deterministic
+    total order (unique tie-break in ``order_cols``)."""
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    return scored.withColumn(rank_name, F.row_number().over(w)).where(
         F.col(rank_name) <= k
     )
 
@@ -82,7 +84,7 @@ def cosine_topk_bruteforce(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("score", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
     )
-    return _topk_per_group(
+    return topk_per_group(
         scored, "query_id", [F.desc("score"), F.asc("neighbor_id")], k
     ).select("query_id", "neighbor_id", "rank", "score")
 
@@ -126,7 +128,7 @@ def cosine_topk_bucketed(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("score", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
     )
-    return _topk_per_group(
+    return topk_per_group(
         scored, "query_id", [F.desc("score"), F.asc("neighbor_id")], k
     ).select("query_id", "neighbor_id", "rank", "score")
 
@@ -224,7 +226,7 @@ def cosine_topk_ivf(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("score", F.round(cosine(F.col("_qv"), F.col("_nv")), 6))
     )
-    return _topk_per_group(
+    return topk_per_group(
         scored, "query_id", [F.desc("score"), F.asc("neighbor_id")], k
     ).select("query_id", "neighbor_id", "cell", "rank", "score")
 

@@ -589,3 +589,117 @@ class TestPiiScrub:
         row = pii_scrub(only_email).collect()[0]
         assert (row["n_emails"], row["n_phones"]) == (1, 0)
         assert row["scrubbed_fp"] == hashlib.md5(b"mail <EMAIL> bye").hexdigest()
+
+
+class TestSampling:
+    def _docs(self, spark, n=40):
+        rows = [(i, f"tok{i} the and word{i % 7} of", f"src{i % 4}") for i in range(n)]
+        return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    def test_mixture_membership_matches_manual_md5(self, spark):
+        """Per-row keep decision must equal the hand-computed hash-threshold
+        rule — layout-independent, so repartitioning cannot change it."""
+        import hashlib
+
+        from nimbus_crawler_spark.operators.sampling import mixture_sample
+
+        docs = self._docs(spark)
+        weights = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+        default = 0.25
+        got = {r["doc_id"] for r in mixture_sample(docs, weights, default).collect()}
+
+        def key(i):
+            return hashlib.md5(f"mix:{i}".encode()).hexdigest()[:8]
+
+        exp = set()
+        for i in range(40):
+            rate = weights.get(f"src{i % 4}", default)
+            if rate >= 1.0 or (rate > 0 and key(i) < format(int(rate * 2**32), "08x")):
+                exp.add(i)
+        assert got == exp
+        assert {i for i in got if i % 4 == 0} == {i for i in range(40) if i % 4 == 0}
+        assert not any(i % 4 == 2 for i in got)  # rate 0.0 keeps nothing
+        # layout independence: a different partitioning samples the same rows
+        regot = {
+            r["doc_id"]
+            for r in mixture_sample(docs.repartition(7), weights, default).collect()
+        }
+        assert regot == got
+
+    def test_mixture_salt_redraws(self, spark):
+        from nimbus_crawler_spark.operators.sampling import mixture_sample
+
+        docs = self._docs(spark, n=200)
+        a = {r["doc_id"] for r in mixture_sample(docs, {}, 0.5, salt="a").collect()}
+        b = {r["doc_id"] for r in mixture_sample(docs, {}, 0.5, salt="b").collect()}
+        assert a != b  # independent draws
+        assert 40 < len(a) < 160  # ~rate·n, loose deterministic bounds
+
+    def test_threshold_hex_rejects_out_of_range(self):
+        import pytest
+
+        from nimbus_crawler_spark.operators.sampling import weight_threshold_hex
+
+        assert weight_threshold_hex(0.5) == "80000000"
+        assert weight_threshold_hex(0.0) == "00000000"
+        with pytest.raises(ValueError):
+            weight_threshold_hex(1.0)
+
+    def test_stratified_topk_equals_naive_window(self, spark):
+        """Two-phase bounded top-k must return exactly the naive
+        window-rank result (same score, same tie-break)."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from nimbus_crawler_spark.operators.sampling import stratified_topk
+        from nimbus_crawler_spark.operators.textstats import (
+            _quality_feature_cols,
+            quality_score_col,
+        )
+
+        docs = self._docs(spark, n=60).repartition(8)
+        got = sorted(tuple(r) for r in stratified_topk(docs, k=3).collect())
+        scored = docs.select(
+            "doc_id", "source",
+            quality_score_col(_quality_feature_cols(F.col("text"))).alias("quality_score"),
+        )
+        w = Window.partitionBy("source").orderBy(F.desc("quality_score"), F.asc("doc_id"))
+        exp = sorted(
+            tuple(r)
+            for r in scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .collect()
+        )
+        assert got == exp
+        per_src = {}
+        for _, src, _, rank in got:
+            per_src[src] = per_src.get(src, 0) + 1
+            assert 1 <= rank <= 3
+        assert all(v == 3 for v in per_src.values())
+
+    def test_topk_map_side_window_group_limit_in_plan(self, spark):
+        """topk_per_group relies on InferWindowGroupLimit (SPARK-37099): a
+        map-side WindowGroupLimit BELOW the exchange must prune each input
+        partition to its per-group top-k before the shuffle. If this
+        disappears (optimizer change, pattern mismatch), the window task
+        buffers whole groups again — fail loudly."""
+        import io
+        from contextlib import redirect_stdout
+
+        from pyspark.sql import functions as F
+
+        from nimbus_crawler_spark.operators.similarity import topk_per_group
+
+        docs = self._docs(spark, n=50)
+        out = topk_per_group(
+            docs, "source", [F.desc("doc_id")], 3
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out.explain("formatted")
+        tree = buf.getvalue()
+        tree = tree[: tree.index("(1)")]  # operator tree only
+        assert tree.count("WindowGroupLimit") >= 2
+        # printed top-down: the final WindowGroupLimit sits BELOW Exchange,
+        # i.e. on the map side, before any row is shuffled
+        assert tree.rindex("WindowGroupLimit") > tree.index("Exchange")
