@@ -300,6 +300,23 @@ def _q_stratified_topk(spark, sf_dir):
     return stratified_topk(_t(spark, sf_dir, "documents"), k=5)
 
 
+def _q_inverted_index(spark, sf_dir):
+    from nimbus_crawler_spark.operators.indexing import inverted_index
+
+    # gate params fit the sf0.01 vocabulary (31 terms, df 25-402): the cap
+    # drops the one stopword-grade term (df 402), the floor is exercised by
+    # construction, and 30 surviving terms × 5 postings ≈ 150 rows
+    return inverted_index(
+        _t(spark, sf_dir, "documents"), min_doc_freq=2, max_doc_freq=400, max_postings=5
+    )
+
+
+def _q_bpe_pair_counts(spark, sf_dir):
+    from nimbus_crawler_spark.operators.indexing import bpe_pair_counts
+
+    return bpe_pair_counts(_t(spark, sf_dir, "documents"), top_k=100)
+
+
 def _q_dedup_clusters(spark, sf_dir):
     """Near-dup pairs → connected components → keep-one decision: the
     grouping step between LSH pair emission and survivor selection.
@@ -687,6 +704,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": _q_repetition,
         "curation": _q_curation,
         "term_stats": _q_term_stats,
+        "inverted_index": _q_inverted_index,
+        "bpe_pair_counts": _q_bpe_pair_counts,
         "mixture_sample": _q_mixture_sample,
         "stratified_topk": _q_stratified_topk,
         "dedup_clusters": _q_dedup_clusters,
@@ -1109,6 +1128,35 @@ a AS (SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
 k AS (SELECT * FROM a ORDER BY n_occurrences DESC, token LIMIT 100)
 SELECT token, n_occurrences, n_docs,
        row_number() OVER (ORDER BY n_occurrences DESC, token) AS rank
+FROM k
+""",
+        "inverted_index": r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+  FROM documents),
+t AS (SELECT doc_id, unnest(tk) AS token FROM toks),
+tf AS (SELECT token, doc_id, count(*) AS term_freq FROM t GROUP BY token, doc_id),
+df AS (SELECT token, count(*) AS doc_freq FROM tf GROUP BY token
+       HAVING count(*) BETWEEN 2 AND 400),
+r AS (SELECT tf.token, df.doc_freq, tf.doc_id, tf.term_freq,
+        row_number() OVER (PARTITION BY tf.token
+                           ORDER BY tf.term_freq DESC, tf.doc_id) AS posting_rank
+      FROM tf JOIN df USING (token))
+SELECT token, doc_freq, doc_id, term_freq, posting_rank
+FROM r WHERE posting_rank <= 5
+""",
+        "bpe_pair_counts": r"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+  FROM documents),
+p AS (
+  SELECT concat_ws(' ', tk[i], tk[i+1]) AS pair
+  FROM toks, unnest(range(1, len(tk))) AS r(i)
+  WHERE len(tk) >= 2),
+a AS (SELECT pair, count(*) AS n_occurrences FROM p GROUP BY pair),
+k AS (SELECT * FROM a ORDER BY n_occurrences DESC, pair LIMIT 100)
+SELECT pair, n_occurrences,
+       row_number() OVER (ORDER BY n_occurrences DESC, pair) AS rank
 FROM k
 """,
         "curation": r"""

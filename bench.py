@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "lang_id",
     "token_counts",
     "term_stats",
+    "inverted_index",
+    "bpe_pair_counts",
     "mixture_sample",
     "stratified_topk",
     "fingerprints",

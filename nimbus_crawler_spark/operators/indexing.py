@@ -1,0 +1,119 @@
+"""Search-index and tokenizer-training aggregations over the crawled corpus.
+
+A crawler's canonical downstream consumers are (1) a search index and (2) a
+tokenizer/vocabulary trainer — the reference feeds its extracted text to
+exactly such consumers via the blob store (/root/reference/internal/storage/
+minio.go text objects); these operators are the Spark-side aggregations
+those consumers run first.
+
+* ``inverted_index`` — bounded term→postings construction (the index-build
+  map-reduce): per-(term, doc) term frequencies, document-frequency gating
+  (stopword elimination by df cap, hapax elimination by df floor), and
+  impact-ordered postings pruning (keep only the ``max_postings`` highest-tf
+  docs per term — static index pruning à la Carmel et al., SIGIR'01).
+* ``bpe_pair_counts`` — adjacent-token-pair frequencies, the inner-loop
+  count of BPE vocabulary training (Sennrich et al. 2016): the top pair is
+  the next merge candidate. Pairs are bigram shingles, so this reuses the
+  lambda-bound ``shingles`` kernel (O(tokens), not O(tokens²)).
+
+Scale design (both operators):
+- tokenization is pure codegen (split + filter), fused into the scan;
+- every aggregation is a hash agg with map-side partial combine: the
+  (token, doc) key of ``inverted_index``'s first agg is skew-proof (the key
+  includes doc_id), and its second agg inputs ONE row per (token, doc), so
+  even a stopword token contributes ≤ |docs| pre-combined rows spread over
+  all partitions — never one task's buffer;
+- the per-term postings cut uses the shared rank-filtered window
+  (``topk_per_group``), and because the window's partition key is exactly
+  the df-join's key, Catalyst elides the window exchange entirely: the
+  ``WindowGroupLimit`` streams over the join's sort order, emitting k rows
+  per term with ZERO additional shuffles and no group buffering (sort-based
+  rank tracking, spillable) — even when ``max_doc_freq`` is set to keep
+  stopword-grade terms, the only per-term clustering is the one the join
+  itself requires;
+- top-k selection in ``bpe_pair_counts`` is a distributed TakeOrdered
+  (orderBy + limit), with the rank window only over the ≤ top_k survivors —
+  the same tiny-side-plan pattern as ``textstats.term_stats``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from nimbus_crawler_spark.operators.similarity import topk_per_group
+from nimbus_crawler_spark.operators.textdedup import _tokens, shingles
+
+
+def inverted_index(
+    docs: DataFrame,
+    min_doc_freq: int = 2,
+    max_doc_freq: int = 1_000_000,
+    max_postings: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bounded inverted index: (token, doc_freq, doc_id, term_freq,
+    posting_rank), one row per kept posting.
+
+    Terms with document frequency outside [min_doc_freq, max_doc_freq] are
+    dropped (hapaxes index nothing useful; stopwords index everything), and
+    each surviving term keeps only its ``max_postings`` highest-term-
+    frequency documents, ranked by (term_freq desc, doc_id asc) — a
+    deterministic total order, so the output is oracle-comparable.
+
+    Two shuffles total: the (token, doc) tf agg and the token df agg; the
+    df table is one row per term, so the join back is an ordinary
+    skew-tolerant equi-join (AQE splits any hot build partitions). The
+    postings cut adds NO third shuffle: the window partitions by the join
+    key, so Catalyst reuses the join's clustering and the WindowGroupLimit
+    streams the per-term cap over the already-sorted rows (plan-pinned in
+    tests) — see module docstring.
+    """
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_tokens(F.col(text_col))).alias("token"),
+        )
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("term_freq"))
+    )
+    df_gate = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .where(F.col("doc_freq").between(min_doc_freq, max_doc_freq))
+    )
+    ranked = topk_per_group(
+        tf.join(df_gate, "token"),
+        "token",
+        [F.desc("term_freq"), F.asc("doc_id")],
+        max_postings,
+        rank_name="posting_rank",
+    )
+    return ranked.select("token", "doc_freq", "doc_id", "term_freq", "posting_rank")
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    top_k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top adjacent-token-pair frequencies: (pair, n_occurrences, rank) —
+    the merge-candidate count of one BPE training round over the corpus.
+
+    ``pair`` is the two tokens joined by a single space (bigram shingle).
+    Occurrences count every adjacency, including repeats within a document
+    (BPE merges by corpus frequency, not document frequency). Ties break by
+    pair ascending for a deterministic, oracle-comparable result.
+    """
+    pairs = docs.select(
+        F.explode(shingles(F.col(text_col), n=2)).alias("pair")
+    )
+    agg = (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("pair"))
+    return agg.withColumn("rank", F.row_number().over(w))

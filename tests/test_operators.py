@@ -703,3 +703,94 @@ class TestSampling:
         # printed top-down: the final WindowGroupLimit sits BELOW Exchange,
         # i.e. on the map side, before any row is shuffled
         assert tree.rindex("WindowGroupLimit") > tree.index("Exchange")
+
+
+class TestIndexing:
+    """inverted_index + bpe_pair_counts (operators/indexing.py): the
+    search-index and BPE-merge-count aggregations over the crawled corpus."""
+
+    def _docs(self, spark):
+        rows = [
+            (0, "a b a c"),
+            (1, "a b"),
+            (2, "a c c"),
+            (3, "b"),
+            (4, ""),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_inverted_index_postings(self, spark):
+        from nimbus_crawler_spark.operators.indexing import inverted_index
+
+        docs = self._docs(spark)
+        # df: a→3 (docs 0,1,2), b→3 (docs 0,1,3), c→2 (docs 0,2) —
+        # c is dropped by min_doc_freq=3
+        got = [
+            tuple(r)
+            for r in inverted_index(
+                docs, min_doc_freq=3, max_doc_freq=10, max_postings=2
+            )
+            .orderBy("token", "posting_rank")
+            .collect()
+        ]
+        assert got == [
+            ("a", 3, 0, 2, 1),  # tf 2 in doc 0 wins
+            ("a", 3, 1, 1, 2),  # tf tie (docs 1,2 both 1) → doc_id asc
+            ("b", 3, 0, 1, 1),
+            ("b", 3, 1, 1, 2),  # doc 3 cut by max_postings=2
+        ]
+
+    def test_inverted_index_df_gates(self, spark):
+        from nimbus_crawler_spark.operators.indexing import inverted_index
+
+        docs = self._docs(spark)
+        # floor=1 admits the hapax-ish c; cap=2 drops the stopword-grade a,b
+        got = [
+            tuple(r)
+            for r in inverted_index(
+                docs, min_doc_freq=1, max_doc_freq=2, max_postings=10
+            )
+            .orderBy("token", "posting_rank")
+            .collect()
+        ]
+        assert got == [("c", 2, 2, 2, 1), ("c", 2, 0, 1, 2)]
+
+    def test_inverted_index_postings_cut_adds_no_shuffle(self, spark):
+        """The per-term postings cut must (a) run through WindowGroupLimit —
+        sort-based rank-limit streaming, never a group-buffering window —
+        and (b) reuse the df-join's clustering: the window partitions by the
+        join key, so NO Exchange may sit between the join and the Window.
+        Together these keep stopword-grade terms from buffering whole
+        postings lists in one task when max_doc_freq is set high."""
+        import io
+        from contextlib import redirect_stdout
+
+        from nimbus_crawler_spark.operators.indexing import inverted_index
+
+        out = inverted_index(self._docs(spark), min_doc_freq=1, max_postings=2)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out.explain("formatted")
+        tree = buf.getvalue()
+        tree = tree[: tree.index("(1)")]
+        i_win = tree.index("Window ")
+        i_wgl = tree.index("WindowGroupLimit")
+        i_join = tree.index("Join")
+        assert i_win < i_wgl < i_join  # printed top-down: limit feeds the window
+        assert "Exchange" not in tree[i_win:i_join]  # join clustering reused
+
+    def test_bpe_pair_counts(self, spark):
+        from nimbus_crawler_spark.operators.indexing import bpe_pair_counts
+
+        rows = [
+            (0, "x y x y x"),  # adjacencies: x y, y x, x y, y x
+            (1, "x y z"),
+            (2, "solo"),
+            (3, ""),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = [tuple(r) for r in bpe_pair_counts(docs, top_k=3).collect()]
+        assert got == [("x y", 3, 1), ("y x", 2, 2), ("y z", 1, 3)]
+        # the merge candidate is the top-1 row; repeats within a doc count
+        top = bpe_pair_counts(docs, top_k=1).collect()
+        assert [(top[0]["pair"], top[0]["n_occurrences"])] == [("x y", 3)]
