@@ -317,6 +317,13 @@ def _q_bpe_pair_counts(spark, sf_dir):
     return bpe_pair_counts(_t(spark, sf_dir, "documents"), top_k=100)
 
 
+def _q_bm25_topk(spark, sf_dir):
+    from nimbus_crawler_spark.operators.indexing import bm25_topk
+
+    # three mid-frequency vocabulary terms; k=25 exercises the tail ordering
+    return bm25_topk(_t(spark, sf_dir, "documents"), "table hash merge", k=25)
+
+
 def _q_dedup_clusters(spark, sf_dir):
     """Near-dup pairs → connected components → keep-one decision: the
     grouping step between LSH pair emission and survivor selection.
@@ -706,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_stats": _q_term_stats,
         "inverted_index": _q_inverted_index,
         "bpe_pair_counts": _q_bpe_pair_counts,
+        "bm25_topk": _q_bm25_topk,
         "mixture_sample": _q_mixture_sample,
         "stratified_topk": _q_stratified_topk,
         "dedup_clusters": _q_dedup_clusters,
@@ -1158,6 +1166,31 @@ k AS (SELECT * FROM a ORDER BY n_occurrences DESC, pair LIMIT 100)
 SELECT pair, n_occurrences,
        row_number() OVER (ORDER BY n_occurrences DESC, pair) AS rank
 FROM k
+""",
+        # BM25: query "table hash merge", k1=1.2, b=0.75, Lucene idf; scores
+        # rounded to 6 dp in BOTH engines and the ORDER uses the rounded
+        # value (float sum order varies across engines)
+        "bm25_topk": r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+  FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(len(tk)) AS avgdl FROM toks),
+hits AS (
+  SELECT doc_id, len(tk) AS dl, t.token AS token, count(*) AS tf
+  FROM toks, unnest(tk) AS t(token)
+  WHERE t.token IN ('hash', 'merge', 'table')
+  GROUP BY doc_id, dl, token),
+dfs AS (SELECT token, count(DISTINCT doc_id) AS df FROM hits GROUP BY token),
+scored AS (
+  SELECT h.doc_id,
+         round(sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * (h.tf * (1.2 + 1))
+                   / (h.tf + 1.2 * (1 - 0.75 + 0.75 * h.dl / s.avgdl))), 6) AS score
+  FROM hits h JOIN dfs d USING (token) CROSS JOIN stats s
+  GROUP BY h.doc_id)
+SELECT doc_id, score,
+       row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+FROM scored ORDER BY score DESC, doc_id LIMIT 25
 """,
         "curation": r"""
 WITH m AS (

@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "term_stats",
     "inverted_index",
     "bpe_pair_counts",
+    "bm25_topk",
     "mixture_sample",
     "stratified_topk",
     "fingerprints",

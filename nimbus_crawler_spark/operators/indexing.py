@@ -15,8 +15,11 @@ those consumers run first.
   count of BPE vocabulary training (Sennrich et al. 2016): the top pair is
   the next merge candidate. Pairs are bigram shingles, so this reuses the
   lambda-bound ``shingles`` kernel (O(tokens), not O(tokens²)).
+* ``bm25_topk`` — the query side of the index: Okapi BM25 (Robertson &
+  Zaragoza 2009, the Lucene idf variant) top-k retrieval for one query
+  over the corpus.
 
-Scale design (both operators):
+Scale design (all three):
 - tokenization is pure codegen (split + filter), fused into the scan;
 - every aggregation is a hash agg with map-side partial combine: the
   (token, doc) key of ``inverted_index``'s first agg is skew-proof (the key
@@ -117,3 +120,67 @@ def bpe_pair_counts(
     )
     w = Window.orderBy(F.desc("n_occurrences"), F.asc("pair"))
     return agg.withColumn("rank", F.row_number().over(w))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval: (doc_id, score, rank) for one query.
+
+    idf is the Lucene variant ln(1 + (N - df + 0.5)/(df + 0.5)) — always
+    positive, so a stopword-grade query term degrades gracefully instead of
+    flipping sign. N counts all docs (empty ones included), dl is the
+    whitespace-token count, avgdl its corpus mean.
+
+    Scale design: the query's token set is a small driver-side literal, so
+    an ``isin`` codegen predicate directly above the explode drops every
+    non-query token BEFORE any shuffle — only query-term postings ever hit
+    the wire, never the full corpus token stream. N/avgdl is a one-row
+    aggregate broadcast into the score projection; df per query term is a
+    ≤|query|-row aggregate, also broadcast. The final top-k is a distributed
+    TakeOrdered (orderBy + limit). Ordering uses the ROUNDED score (6 dp)
+    with doc_id ascending as tie-break: float summation order varies across
+    engines and partitionings, so ordering on the rounded value is what
+    makes the result deterministic and oracle-comparable.
+    """
+    qterms = sorted({t for t in query.lower().split() if t})
+    if not qterms:
+        raise ValueError("query must contain at least one token")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("tk")
+    )
+    # one tiny row: corpus size + mean doc length (cross-join broadcast)
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size("tk")).alias("avgdl"),
+    )
+    hits = (
+        toks.select("doc_id", F.size("tk").alias("dl"), F.explode("tk").alias("token"))
+        .where(F.col("token").isin(qterms))
+        .groupBy("doc_id", "dl", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tbl = hits.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        hits.join(F.broadcast(df_tbl), "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * tf_norm), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return scored.withColumn("rank", F.row_number().over(w))

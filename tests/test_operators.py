@@ -794,3 +794,41 @@ class TestIndexing:
         # the merge candidate is the top-1 row; repeats within a doc count
         top = bpe_pair_counts(docs, top_k=1).collect()
         assert [(top[0]["pair"], top[0]["n_occurrences"])] == [("x y", 3)]
+
+    def test_bm25_topk(self, spark):
+        import math
+
+        import pytest
+
+        from nimbus_crawler_spark.operators.indexing import bm25_topk
+
+        rows = [
+            (0, "cat dog cat"),
+            (1, "dog dog dog dog"),
+            (2, "cat fish"),
+            (3, "bird"),
+            (4, ""),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = [tuple(r) for r in bm25_topk(docs, "cat dog", k=10).collect()]
+
+        # independent pure-Python BM25 (Lucene idf; k1=1.2, b=0.75)
+        toks = {i: [t for t in txt.lower().split() if t] for i, txt in rows}
+        n, avgdl = len(rows), sum(map(len, toks.values())) / len(rows)
+        dfreq = {q: sum(q in tk for tk in toks.values()) for q in ("cat", "dog")}
+        exp = []
+        for i, tk in toks.items():
+            s = 0.0
+            for q in ("cat", "dog"):
+                tf = tk.count(q)
+                if tf:
+                    idf = math.log(1 + (n - dfreq[q] + 0.5) / (dfreq[q] + 0.5))
+                    s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(tk) / avgdl))
+            if s:
+                exp.append((i, round(s, 6)))
+        exp.sort(key=lambda x: (-x[1], x[0]))
+        assert got == [(i, s, r + 1) for r, (i, s) in enumerate(exp)]
+        assert [g[0] for g in got] == [0, 1, 2]  # two hits > high-tf > low-tf
+
+        with pytest.raises(ValueError):
+            bm25_topk(docs, "   ")
