@@ -286,6 +286,12 @@ _MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
 _MIX_DEFAULT = 0.1
 
 
+def _q_quality_histogram(spark, sf_dir):
+    from nimbus_crawler_spark.operators.textstats import quality_histogram
+
+    return quality_histogram(_t(spark, sf_dir, "documents"), n_buckets=20, by="source")
+
+
 def _q_mixture_sample(spark, sf_dir):
     from nimbus_crawler_spark.operators.sampling import mixture_sample
 
@@ -714,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": _q_inverted_index,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "bm25_topk": _q_bm25_topk,
+        "quality_histogram": _q_quality_histogram,
         "mixture_sample": _q_mixture_sample,
         "stratified_topk": _q_stratified_topk,
         "dedup_clusters": _q_dedup_clusters,
@@ -1191,6 +1198,37 @@ scored AS (
 SELECT doc_id, score,
        row_number() OVER (ORDER BY score DESC, doc_id) AS rank
 FROM scored ORDER BY score DESC, doc_id LIMIT 25
+""",
+        # per-source quality-score histogram: 20 buckets over [0,1]; the
+        # score expression is identical to the `quality` oracle, the bucket
+        # arithmetic identical to metric_histogram (w = 0.05 as the same
+        # nearest-double in both engines, lo_edge = bucket*w unrounded)
+        "quality_histogram": r"""
+WITH m AS (
+  SELECT source,
+    len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS n_tokens,
+    len(list_distinct(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''))) AS n_distinct,
+    length(text) AS n_chars_m,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+    len(regexp_extract_all(lower(text), '\bthe\b')) + len(regexp_extract_all(lower(text), '\band\b'))
+      + len(regexp_extract_all(lower(text), '\bof\b')) + len(regexp_extract_all(lower(text), '\bis\b'))
+      + len(regexp_extract_all(lower(text), '\bwith\b')) AS stopword_hits
+  FROM documents),
+s AS (
+  SELECT source,
+    floor((least(n_tokens / 50.0, 1.0) * 0.3
+          + floor((CASE WHEN n_chars_m > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars_m ELSE 0 END) * 10000 + 0.5) / 10000 * 0.3
+          + least(floor((CASE WHEN n_tokens > 0 THEN CAST(n_distinct AS DOUBLE) / n_tokens ELSE 0 END) * 10000 + 0.5) / 10000 * 2, 1.0) * 0.2
+          + least(stopword_hits / 5.0, 1.0) * 0.2) * 10000 + 0.5) / 10000 AS q
+  FROM m),
+b AS (
+  SELECT source,
+    CAST(least(greatest(floor((q - 0.0) / CAST(0.05 AS DOUBLE)), 0), 19) AS INT) AS bucket
+  FROM s)
+SELECT source, bucket,
+       CAST(0.0 AS DOUBLE) + bucket * CAST(0.05 AS DOUBLE) AS lo_edge,
+       count(*) AS n
+FROM b GROUP BY source, bucket
 """,
         "curation": r"""
 WITH m AS (

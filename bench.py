@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "inverted_index",
     "bpe_pair_counts",
     "bm25_topk",
+    "quality_histogram",
     "mixture_sample",
     "stratified_topk",
     "fingerprints",

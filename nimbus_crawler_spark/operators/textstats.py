@@ -335,3 +335,60 @@ def curation_pipeline(
         .agg(F.min_by(F.struct(*scored.columns), F.col(id_col)).alias("_r"))
         .select("_r.*")
     )
+
+
+def metric_histogram(
+    df: DataFrame,
+    metric_col: str,
+    n_buckets: int = 20,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    by: str | None = None,
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column: (``by``?, bucket, lo_edge,
+    n) — the distribution evidence a curation pipeline needs to TUNE its
+    thresholds (where does a quality cut of 0.6 vs 0.7 land, per source?)
+    before committing to a filter at corpus scale.
+
+    Pure codegen: bucket = clamp(floor((x − lo)/w), 0, n_buckets−1) fuses
+    into the scan projection, and the only shuffle is the map-side-combined
+    hash agg on (by, bucket) — ≤ |sources|·n_buckets rows ever cross the
+    wire regardless of corpus size (this is the scale-correct alternative
+    to collecting a column for a driver-side histogram). ``lo_edge`` is
+    computed as lo + bucket·((hi−lo)/n_buckets) — the same double
+    arithmetic in any engine, so results are comparable bit-for-bit without
+    rounding tricks. Values at exactly ``hi`` land in the top bucket;
+    values outside [lo, hi] clamp into the edge buckets (recorded, never
+    dropped — silent truncation would misstate the distribution)."""
+    w = (hi - lo) / n_buckets
+    bucket = F.least(
+        F.greatest(F.floor((F.col(metric_col) - lo) / w), F.lit(0)),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    keys = ([by] if by else []) + ["bucket"]
+    return (
+        df.select(*([by] if by else []), bucket.alias("bucket"))
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            *keys,
+            (F.lit(lo) + F.col("bucket") * F.lit(w)).alias("lo_edge"),
+            "n",
+        )
+    )
+
+
+def quality_histogram(
+    docs: DataFrame,
+    n_buckets: int = 20,
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source distribution of the composite quality score:
+    (source, bucket, lo_edge, n). The score expression is the shared
+    cross-engine-exact ``quality_score_col`` (4-dp HALF_UP), so the
+    histogram is oracle-comparable; one scan projection computes the score
+    and its bucket together, then the tiny hash agg."""
+    feats = _quality_feature_cols(F.col(text_col))
+    scored = docs.select(by, quality_score_col(feats).alias("q"))
+    return metric_histogram(scored, "q", n_buckets=n_buckets, lo=0.0, hi=1.0, by=by)

@@ -832,3 +832,54 @@ class TestIndexing:
 
         with pytest.raises(ValueError):
             bm25_topk(docs, "   ")
+
+
+class TestHistograms:
+    """metric_histogram / quality_histogram (textstats): distribution
+    evidence for curation-threshold tuning."""
+
+    def test_metric_histogram_buckets_and_clamping(self, spark):
+        from nimbus_crawler_spark.operators.textstats import metric_histogram
+
+        rows = [(0.0,), (0.049,), (0.05,), (0.9999,), (1.0,), (-0.2,), (1.7,)]
+        df = spark.createDataFrame(rows, "x double")
+        got = {
+            r["bucket"]: (r["lo_edge"], r["n"])
+            for r in metric_histogram(df, "x", n_buckets=20).collect()
+        }
+        # 0.0 and 0.049 in bucket 0; -0.2 clamps up into it
+        # 0.05 is exactly the bucket-1 edge; 1.0 and 1.7 clamp into bucket 19
+        assert got[0] == (0.0, 3)
+        assert got[1] == (0.05, 1)
+        assert got[19][1] == 3 and abs(got[19][0] - 0.95) < 1e-12
+        assert set(got) == {0, 1, 19}
+        assert sum(n for _, n in got.values()) == len(rows)  # nothing dropped
+
+    def test_metric_histogram_grouped(self, spark):
+        from nimbus_crawler_spark.operators.textstats import metric_histogram
+
+        rows = [("a", 0.1), ("a", 0.12), ("b", 0.1), ("b", 0.9)]
+        df = spark.createDataFrame(rows, "src string, x double")
+        got = {
+            (r["src"], r["bucket"]): r["n"]
+            for r in metric_histogram(df, "x", n_buckets=10, by="src").collect()
+        }
+        assert got == {("a", 1): 2, ("b", 1): 1, ("b", 9): 1}
+
+    def test_quality_histogram_totals(self, spark):
+        from nimbus_crawler_spark.operators.textstats import quality_histogram
+
+        rows = [
+            (0, "the quick brown fox is with the lazy dog", "s0"),
+            (1, "the the the the", "s0"),
+            (2, "xyzzy", "s1"),
+            (3, "", "s1"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        got = quality_histogram(docs, n_buckets=10, by="source").collect()
+        per_src = {}
+        for r in got:
+            assert 0 <= r["bucket"] <= 9
+            assert abs(r["lo_edge"] - r["bucket"] * 0.1) < 1e-12
+            per_src[r["source"]] = per_src.get(r["source"], 0) + r["n"]
+        assert per_src == {"s0": 2, "s1": 2}  # every doc lands in a bucket
