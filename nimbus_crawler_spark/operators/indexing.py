@@ -27,13 +27,14 @@ Scale design (all three):
   even a stopword token contributes ≤ |docs| pre-combined rows spread over
   all partitions — never one task's buffer;
 - the per-term postings cut uses the shared rank-filtered window
-  (``topk_per_group``), and because the window's partition key is exactly
-  the df-join's key, Catalyst elides the window exchange entirely: the
-  ``WindowGroupLimit`` streams over the join's sort order, emitting k rows
-  per term with ZERO additional shuffles and no group buffering (sort-based
-  rank tracking, spillable) — even when ``max_doc_freq`` is set to keep
-  stopword-grade terms, the only per-term clustering is the one the join
-  itself requires;
+  (``topk_per_group``); because the window's partition key is exactly the
+  df-join's key, Catalyst emits one of two safe shapes (both plan-pinned in
+  tests and captured in BENCH/PLANS.md): under a sort-merge join the window
+  exchange is elided entirely — the ``WindowGroupLimit`` streams over the
+  join's sort order with ZERO additional shuffles — and under a broadcast
+  df-join a MAP-SIDE ``WindowGroupLimit`` prunes every partition to its
+  per-term top-k before the one exchange. Either way no task buffers a
+  stopword-grade postings list (sort-based rank tracking, spillable);
 - top-k selection in ``bpe_pair_counts`` is a distributed TakeOrdered
   (orderBy + limit), with the rank window only over the ≤ top_k survivors —
   the same tiny-side-plan pattern as ``textstats.term_stats``.
@@ -67,11 +68,10 @@ def inverted_index(
 
     Two shuffles total: the (token, doc) tf agg and the token df agg; the
     df table is one row per term, so the join back is an ordinary
-    skew-tolerant equi-join (AQE splits any hot build partitions). The
-    postings cut adds NO third shuffle: the window partitions by the join
-    key, so Catalyst reuses the join's clustering and the WindowGroupLimit
-    streams the per-term cap over the already-sorted rows (plan-pinned in
-    tests) — see module docstring.
+    skew-tolerant equi-join (AQE splits any hot build partitions; small df
+    tables broadcast). The postings cut is bounded in both join shapes —
+    exchange elided under sort-merge, map-side WindowGroupLimit under
+    broadcast (plan-pinned in tests) — see module docstring.
     """
     tf = (
         docs.select(
