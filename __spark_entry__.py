@@ -353,6 +353,20 @@ def _q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(pairs)
 
 
+def _q_dedup_survivors(spark, sf_dir):
+    """Terminal step of the dedup pipeline: the kept corpus after keep-one —
+    singletons pass through with cluster_size 1, each cluster keeps only its
+    minimum-id member. Same confident-pair parameters as `dedup_clusters`
+    (that gate checks the labels; this one checks the survivor SET, the
+    thing a training run actually consumes)."""
+    from nimbus_crawler_spark.operators.graph import dedup_survivors
+    from nimbus_crawler_spark.operators.textdedup import simhash_near_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = simhash_near_pairs(docs, max_hamming=1, bits=16, bands=2)
+    return dedup_survivors(docs, pairs)
+
+
 def _q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: eval split = doc_id % 25 == 0 (deterministic
     stand-in for a held-out benchmark), train = the rest; flags train docs
@@ -724,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _q_mixture_sample,
         "stratified_topk": _q_stratified_topk,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_survivors": _q_dedup_survivors,
         "decontaminate": _q_decontaminate,
         "pii_scrub": _q_pii_scrub,
         # similarity
@@ -1292,6 +1307,24 @@ SELECT doc_id, cluster_id,
        count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
        doc_id = cluster_id AS is_keeper
 FROM cc
+""",
+        # survivor set over the SAME pair graph: documents minus non-keepers,
+        # keepers carrying their cluster size, singletons passing at size 1
+        "dedup_survivors": f"""
+WITH RECURSIVE pairs AS ({_simhash_pairs_oracle(16, 2, 1)}),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+cc AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u),
+sizes AS (SELECT cluster_id, count(*) AS n FROM cc GROUP BY cluster_id)
+SELECT d.doc_id, coalesce(s.n, 1) AS cluster_size
+FROM documents d
+LEFT JOIN cc c ON d.doc_id = c.doc_id
+LEFT JOIN sizes s ON c.cluster_id = s.cluster_id
+WHERE c.doc_id IS NULL OR c.doc_id = c.cluster_id
 """,
         "decontaminate": r"""
 WITH toks AS (

@@ -160,3 +160,45 @@ def dedup_clusters(pairs: DataFrame, src: str = "a", dst: str = "b") -> DataFram
         F.col("cluster_size"),
         (F.col("node") == F.col("comp")).alias("is_keeper"),
     )
+
+
+def dedup_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "a",
+    dst: str = "b",
+) -> DataFrame:
+    """The deduplicated corpus: every document that survives the keep-one
+    decision — (doc_id, cluster_size), with cluster_size = 1 for documents
+    that had no near-dup pair at all (singletons pass through untouched).
+
+    This is the terminal step of the dedup pipeline (LSH pairs →
+    ``dedup_clusters`` → survivor set): the output ids are exactly the
+    documents a training run would keep. The reference's crawl-side analog
+    is first-wins content dedup (the parser's content-hash skip) — here the
+    winner is the cluster's minimum id, the restart-stable choice.
+
+    Scale design: non-keepers leave via a LEFT ANTI hash join keyed on
+    doc_id (high-cardinality, skew-free); keeper sizes attach via an
+    equi-join against the keeper rows (one per cluster). The corpus itself
+    never moves through anything wider than those two doc_id-keyed
+    exchanges, and the CC machinery only ever touches documents that appear
+    in a pair — at production near-dup rates (a few percent of the corpus)
+    the overwhelming singleton majority streams straight through the
+    anti-join's probe side.
+    """
+    cc = dedup_clusters(pairs, src=src, dst=dst)
+    losers = cc.where(~F.col("is_keeper")).select("doc_id")
+    keeper_sizes = cc.where(F.col("is_keeper")).select("doc_id", "cluster_size")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(losers, "doc_id", "left_anti")
+        .join(keeper_sizes, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_size"), F.lit(1).cast("long")).alias(
+                "cluster_size"
+            ),
+        )
+    )

@@ -483,6 +483,20 @@ class TestConnectedComponents:
         assert rows[9]["cluster_size"] == 3
         assert rows[12]["cluster_id"] == 12 and rows[14]["cluster_size"] == 2
 
+    def test_dedup_survivors(self, spark):
+        """Survivor set = singletons (size 1) + one keeper per cluster; all
+        non-keepers gone. Pairs (1,2),(2,3) chain into one cluster; (5,6) is
+        a second; 4 never appears in a pair."""
+        from nimbus_crawler_spark.operators.graph import dedup_survivors
+
+        docs = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+        pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "a long, b long")
+        got = {
+            r["doc_id"]: r["cluster_size"]
+            for r in dedup_survivors(docs, pairs).collect()
+        }
+        assert got == {1: 3, 4: 1, 5: 2}
+
     def test_empty_pairs(self, spark):
         """A corpus with no near-dup pairs must yield an empty cluster table
         with the right schema (not an error) — the sf0.001 regime."""
