@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "decontaminate",
     "pii_scrub",
     "dedup_clusters",
+    "dedup_survivors",
     "lang_id",
     "token_counts",
     "term_stats",

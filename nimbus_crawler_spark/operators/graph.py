@@ -179,22 +179,24 @@ def dedup_survivors(
     is first-wins content dedup (the parser's content-hash skip) — here the
     winner is the cluster's minimum id, the restart-stable choice.
 
-    Scale design: non-keepers leave via a LEFT ANTI hash join keyed on
-    doc_id (high-cardinality, skew-free); keeper sizes attach via an
-    equi-join against the keeper rows (one per cluster). The corpus itself
-    never moves through anything wider than those two doc_id-keyed
-    exchanges, and the CC machinery only ever touches documents that appear
-    in a pair — at production near-dup rates (a few percent of the corpus)
-    the overwhelming singleton majority streams straight through the
-    anti-join's probe side.
+    Scale design: ONE left equi-join of the corpus against the cluster
+    table, keyed on doc_id (high-cardinality, skew-free), then a filter.
+    An earlier shape used an anti-join (losers) plus a second join (keeper
+    sizes), which planned the cluster-size aggregate subtree twice; joining
+    the cluster table once and filtering ``is_keeper IS NULL OR is_keeper``
+    carries the same information through half the exchanges. The CC
+    machinery only ever touches documents that appear in a pair — at
+    production near-dup rates (a few percent of the corpus) the cluster
+    table is a small fraction of the probe side, and the overwhelming
+    singleton majority streams straight through as join misses.
     """
-    cc = dedup_clusters(pairs, src=src, dst=dst)
-    losers = cc.where(~F.col("is_keeper")).select("doc_id")
-    keeper_sizes = cc.where(F.col("is_keeper")).select("doc_id", "cluster_size")
+    cc = dedup_clusters(pairs, src=src, dst=dst).select(
+        "doc_id", "cluster_size", "is_keeper"
+    )
     return (
         docs.select(F.col(id_col).alias("doc_id"))
-        .join(losers, "doc_id", "left_anti")
-        .join(keeper_sizes, "doc_id", "left")
+        .join(cc, "doc_id", "left")
+        .where(F.col("is_keeper").isNull() | F.col("is_keeper"))
         .select(
             "doc_id",
             F.coalesce(F.col("cluster_size"), F.lit(1).cast("long")).alias(
