@@ -165,6 +165,7 @@ OUT: dict = {
     "unit": "sec",
 }
 _PRINTED = False
+_HEADLINE_PRINTED = False
 _CHILD: subprocess.Popen | None = None
 
 # The driver's record is the LAST 2,000 characters of stdout; the headline
@@ -271,35 +272,69 @@ def main_remaining() -> float:
 
 
 def finalize() -> None:
-    global _PRINTED
+    """Spill full diagnostics to disk, then print the headline LAST.
+
+    NOTHING between the re-entrancy guard and the print may abort the
+    print: the diag dump catches Exception (not just OSError — a stray
+    non-JSON-serializable value, e.g. a numpy scalar in a sample column,
+    raises TypeError) and both serializations use ``default=str`` so an
+    unexpected value degrades to its repr instead of destroying the
+    record. A headline-build failure still prints a minimal error line —
+    a short record always beats rc-0-with-no-output (the round-4 lesson,
+    generalized)."""
+    global _PRINTED, _HEADLINE_PRINTED
     if _PRINTED:
         return
     _PRINTED = True
     OUT["value"] = round(time.monotonic() - T0, 2)
     try:
+        # serialize BEFORE opening: a mid-dump failure (circular ref) must
+        # not leave a torn file over the previous run's good diagnostics
+        blob = json.dumps(OUT, indent=1, default=str)
         os.makedirs(os.path.dirname(FULL_DIAG_PATH), exist_ok=True)
         with open(FULL_DIAG_PATH, "w") as f:
-            json.dump(OUT, f, indent=1)
-    except OSError:
+            f.write(blob)
+    except Exception:
         pass
-    line = json.dumps(compact_headline(OUT))
+    try:
+        line = json.dumps(compact_headline(OUT), default=str)
+        if len(line) > HEADLINE_MAX:
+            raise ValueError(f"headline {len(line)} > {HEADLINE_MAX}")
+    except Exception as exc:  # pragma: no cover - defensive
+        line = json.dumps(
+            {
+                "metric": OUT.get("metric"),
+                "unit": "sec",
+                "value": OUT.get("value"),
+                "headline_error": f"{type(exc).__name__}: {exc}"[:200],
+            },
+            default=str,
+        )
     # the headline must be the LAST bytes on stdout: flush both streams
     # first, print it, write nothing after
     sys.stderr.flush()
     sys.stdout.flush()
     print(line, flush=True)
+    _HEADLINE_PRINTED = True
 
 
 def _on_signal(signum, frame):  # noqa: ARG001
-    OUT["terminated_by"] = signal.Signals(signum).name
     child = _CHILD
     if child is not None:
         try:
             child.kill()
         except OSError:
             pass
-    finalize()
-    os._exit(0)
+    if not _PRINTED:
+        OUT["terminated_by"] = signal.Signals(signum).name
+        finalize()
+        os._exit(0)
+    if _HEADLINE_PRINTED:
+        os._exit(0)
+    # the signal interrupted an in-progress finalize() (it runs on this
+    # same main-thread stack): returning resumes it so the headline still
+    # prints; exiting here would discard the record at the finish line
+    return
 
 
 for _sig in (signal.SIGTERM, signal.SIGINT, signal.SIGALRM):

@@ -197,3 +197,53 @@ class TestHeadlineFits:
         assert len(json.dumps(head)) <= bench.HEADLINE_MAX
         assert "queries" not in head
         assert head["queries_summary"]["n"] == 200
+
+
+class TestFinalizePrintsNoMatterWhat:
+    """finalize() must print the headline even when the diagnostics spill
+    fails: a non-JSON-serializable value in a diagnostics-only field (a
+    numpy scalar leaked into a sample column, or a circular structure)
+    must degrade to a skipped/stringified diag dump, never to rc-0 with
+    no stdout — the r4 failure mode in a new costume."""
+
+    def _run_finalize(self, tmp_path, capsys, poison):
+        saved_out = dict(bench.OUT)
+        saved_path = bench.FULL_DIAG_PATH
+        saved_printed = bench._PRINTED
+        saved_headline = bench._HEADLINE_PRINTED
+        try:
+            bench.OUT.clear()
+            bench.OUT.update(_worst_case_out())
+            bench.OUT["scaling"]["samples"] = poison
+            bench.FULL_DIAG_PATH = str(tmp_path / "full.json")
+            bench._PRINTED = False
+            bench._HEADLINE_PRINTED = False
+            bench.finalize()
+            assert bench._HEADLINE_PRINTED
+            line = capsys.readouterr().out.strip().splitlines()[-1]
+            head = json.loads(line)
+            assert len(line) <= bench.HEADLINE_MAX
+            return head
+        finally:
+            bench.OUT.clear()
+            bench.OUT.update(saved_out)
+            bench.FULL_DIAG_PATH = saved_path
+            bench._PRINTED = saved_printed
+            bench._HEADLINE_PRINTED = saved_headline
+
+    def test_numpy_scalar_in_diag_field(self, tmp_path, capsys):
+        import numpy as np
+
+        head = self._run_finalize(tmp_path, capsys, [{"steal": np.int64(3)}])
+        # default=str stringifies the scalar: the full diag dump SUCCEEDS
+        assert (tmp_path / "full.json").exists()
+        assert head["scaling"]["efficiency"] == 0.449
+
+    def test_circular_diag_field_skips_dump_keeps_headline(self, tmp_path, capsys):
+        circular: dict = {}
+        circular["self"] = circular
+        head = self._run_finalize(tmp_path, capsys, [circular])
+        # the dump fails (ValueError: circular reference) but the headline
+        # — which never touches diagnostics-only fields — still prints
+        assert not (tmp_path / "full.json").exists()
+        assert head["scaling"]["efficiency"] == 0.449
