@@ -138,10 +138,11 @@ def _decode_bmp(payload: bytes) -> dict | None:
     }
 
 
-def _decode_wav(payload: bytes) -> dict | None:
-    """PCM WAV: RIFF parse + 16-bin amplitude histogram over samples.
-
-    Returns None if the buffer is not simple PCM WAV (caller falls back)."""
+def _wav_samples(payload: bytes) -> tuple[np.ndarray, int, int] | None:
+    """RIFF chunk walk + PCM int16→uint8 transform, shared by the decoder
+    and the frame sampler (the WAV analog of ``_bmp_lum``): returns
+    ``(uint8 samples, channels, rate)``, or None if the buffer is not
+    simple PCM WAV (caller falls back)."""
     if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
     pos, fmt, data = 12, None, None
@@ -168,6 +169,17 @@ def _decode_wav(payload: bytes) -> dict | None:
             // 256
             + 128
         ).astype(np.uint8)
+    return samples, int(channels), int(rate)
+
+
+def _decode_wav(payload: bytes) -> dict | None:
+    """PCM WAV: RIFF parse + 16-bin amplitude histogram over samples.
+
+    Returns None if the buffer is not simple PCM WAV (caller falls back)."""
+    decoded = _wav_samples(payload)
+    if decoded is None:
+        return None
+    samples, channels, rate = decoded
     hist, entropy = _hist_entropy(samples)
     n_frames = samples.size // channels
     return {
@@ -340,30 +352,10 @@ def sample_frames(media: DataFrame, k: int = 4) -> DataFrame:
             lum, _w, _h = decoded
             flat = lum.astype(np.int64).ravel()
             return "bmp", 1, [(0, int(flat[0]), int(flat.sum()) // flat.size)]
-        wav = _decode_wav(payload) if payload[:4] == b"RIFF" else None
+        wav = _wav_samples(payload) if payload[:4] == b"RIFF" else None
         if wav is not None:
-            # re-derive the uint8 sample stream exactly as the decoder does
-            pos, fmt, data = 12, None, None
-            while pos + 8 <= len(payload):
-                cid = payload[pos : pos + 4]
-                size, = struct.unpack_from("<I", payload, pos + 4)
-                if cid == b"fmt ":
-                    fmt = payload[pos + 8 : pos + 8 + size]
-                elif cid == b"data":
-                    data = payload[pos + 8 : pos + 8 + size]
-                pos += 8 + size + (size & 1)
-            _afmt, channels, _rate = struct.unpack_from("<HHI", fmt, 0)
-            bits, = struct.unpack_from("<H", fmt, 14)
-            if bits == 8:
-                vals = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
-            else:
-                vals = (
-                    np.frombuffer(
-                        data[: len(data) - (len(data) % 2)], dtype="<i2"
-                    ).astype(np.int64)
-                    // 256
-                    + 128
-                )
+            samples, channels, _rate = wav
+            vals = samples.astype(np.int64)
             n = int(vals.size) // channels
             out = []
             for idx in _uniform_indices(n, k):
