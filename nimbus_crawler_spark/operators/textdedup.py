@@ -105,20 +105,28 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     )
 
 
-def exact_dedup_keep_first(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """First-wins survivor set (analog of crawl content dedup D3).
+def first_wins(df: DataFrame, key: Column | str, id_col: str = "doc_id") -> DataFrame:
+    """First-wins survivor row per ``key`` — the ONE sanctioned shape for
+    keep-first dedup in this engine.
 
-    ``min_by`` aggregate, not a per-hash window: a boilerplate document
-    duplicated 10^7-10^8 times would funnel its whole group (full text rows
-    included) into one window task. The aggregate buffers exactly ONE
+    ``min_by`` aggregate, not a per-key window: a boilerplate document
+    duplicated 10^7-10^8 times would funnel its whole group (full payload
+    rows included) into one window task. The aggregate buffers exactly ONE
     candidate row per group per partition (map-side combinable); ``id_col``
-    is unique so the winner is deterministic and identical to
-    ``row_number()==1`` over ``orderBy(id_col)``."""
+    must be unique so the winner is deterministic and identical to
+    ``row_number()==1`` over ``orderBy(id_col)``. The struct captures
+    ``df.columns`` in order and ``_r.*`` restores them."""
+    key_c = F.col(key) if isinstance(key, str) else key
     return (
-        docs.groupBy(F.md5(F.col(text_col)).alias("_h"))
-        .agg(F.min_by(F.struct(*docs.columns), F.col(id_col)).alias("_r"))
+        df.groupBy(key_c.alias("_k"))
+        .agg(F.min_by(F.struct(*df.columns), F.col(id_col)).alias("_r"))
         .select("_r.*")
     )
+
+
+def exact_dedup_keep_first(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """First-wins survivor set (analog of crawl content dedup D3)."""
+    return first_wins(docs, F.md5(F.col(text_col)), id_col)
 
 
 def minhash_signatures_wide(

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from nimbus_crawler_spark.operators.textdedup import shingles
+from nimbus_crawler_spark.operators.textdedup import first_wins, shingles
 
 
 def round_half_up(col: Column, k: int) -> Column:
@@ -326,15 +326,10 @@ def curation_pipeline(
         & (F.col("quality_score") >= min_quality)
         & (F.col("top_bigram_frac") <= max_top_bigram_frac)
     )
-    # exact-dedup first-wins as a min_by aggregate (one buffered row per
-    # fingerprint per partition, map-side combinable) — a per-fingerprint
-    # window would single-task a 10^7-copy boilerplate group; id_col is
-    # unique so the winner equals row_number()==1 over orderBy(id_col)
-    return (
-        scored.groupBy(F.col("fingerprint").alias("_fp"))
-        .agg(F.min_by(F.struct(*scored.columns), F.col(id_col)).alias("_r"))
-        .select("_r.*")
-    )
+    # exact-dedup first-wins via the shared min_by aggregate shape (one
+    # buffered row per fingerprint per partition — see first_wins for why
+    # this is never a per-fingerprint window)
+    return first_wins(scored, "fingerprint", id_col)
 
 
 def metric_histogram(
