@@ -249,6 +249,15 @@ def _q_token_counts(spark, sf_dir):
     return token_counts(_t(spark, sf_dir, "documents"))
 
 
+def _q_chunk_documents(spark, sf_dir):
+    # max-seq-len chunker: 32-token windows every 24 tokens (overlapping,
+    # the embedding-pipeline shape); small windows keep the sf0.01 gate's
+    # fan-out moderate while exercising short-tail + single-chunk docs
+    from nimbus_crawler_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"), chunk_tokens=32, stride=24)
+
+
 def _q_lang_id(spark, sf_dir):
     from nimbus_crawler_spark.operators.textstats import lang_id
 
@@ -726,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "fingerprints": _q_fingerprints,
         "token_counts": _q_token_counts,
+        "chunk_documents": _q_chunk_documents,
         "lang_id": _q_lang_id,
         "quality": _q_quality,
         "repetition": _q_repetition,
@@ -1034,6 +1044,22 @@ SELECT doc_id,
   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
   length(text) AS n_bytes_utf8
 FROM documents
+""",
+        "chunk_documents": r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+  FROM documents
+), s AS (
+  SELECT doc_id, tk, unnest(range(0, len(tk), 24)) AS start
+  FROM t WHERE len(tk) > 0
+)
+SELECT doc_id,
+  CAST(start // 24 AS INT) AS chunk_idx,
+  CAST(start AS INT) AS start_token,
+  CAST(len(tk[start + 1 : start + 32]) AS INT) AS n_chunk_tokens,
+  array_to_string(tk[start + 1 : start + 32], ' ') AS chunk_text
+FROM s
 """,
         "lang_id": r"""
 WITH s AS (

@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "dedup_survivors",
     "lang_id",
     "token_counts",
+    "chunk_documents",
     "term_stats",
     "inverted_index",
     "bpe_pair_counts",

@@ -902,3 +902,60 @@ class TestHistograms:
             assert abs(r["lo_edge"] - r["bucket"] * 0.1) < 1e-12
             per_src[r["source"]] = per_src.get(r["source"], 0) + r["n"]
         assert per_src == {"s0": 2, "s1": 2}  # every doc lands in a bucket
+
+
+class TestChunkDocuments:
+    """Fixed-token-window chunking vs a plain-Python oracle."""
+
+    def _expected(self, rows, chunk, stride):
+        out = []
+        for doc_id, text in rows:
+            toks = [t for t in text.split() if t]
+            for start in range(0, len(toks), stride):
+                win = toks[start : start + chunk]
+                out.append((doc_id, start // stride, start, len(win), " ".join(win)))
+        return sorted(out)
+
+    def _got(self, spark, rows, chunk, stride):
+        from nimbus_crawler_spark.operators.chunking import chunk_documents
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return sorted(
+            (r["doc_id"], r["chunk_idx"], r["start_token"], r["n_chunk_tokens"], r["chunk_text"])
+            for r in chunk_documents(df, chunk_tokens=chunk, stride=stride).collect()
+        )
+
+    def test_overlapping_windows_exact(self, spark):
+        rows = [
+            (0, " ".join(f"w{i}" for i in range(23))),   # short tail window
+            (1, " ".join(f"x{i}" for i in range(8))),    # single short chunk
+            (2, "one two   three\tfour"),                # whitespace jitter
+            (3, ""),                                      # no tokens -> no rows
+            (4, " ".join(f"y{i}" for i in range(16))),   # exactly 2 full windows
+        ]
+        assert self._got(spark, rows, 8, 5) == self._expected(rows, 8, 5)
+
+    def test_disjoint_stride_reconstructs_document(self, spark):
+        rows = [(7, " ".join(f"tok{i}" for i in range(37)))]
+        got = self._got(spark, rows, 10, 10)
+        assert got == self._expected(rows, 10, 10)
+        # stride == chunk_tokens partitions the token stream exactly
+        rebuilt = " ".join(text for (_d, _i, _s, _n, text) in got)
+        assert rebuilt == rows[0][1]
+
+    def test_no_shuffle_in_plan(self, spark):
+        from nimbus_crawler_spark.operators.chunking import chunk_documents
+
+        df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+        plan = chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Generate" in plan
+
+    def test_rejects_degenerate_params(self, spark):
+        from nimbus_crawler_spark.operators.chunking import chunk_documents
+
+        df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            chunk_documents(df, chunk_tokens=0)
+        with pytest.raises(ValueError):
+            chunk_documents(df, stride=0)
