@@ -258,6 +258,16 @@ def _q_chunk_documents(spark, sf_dir):
     return chunk_documents(_t(spark, sf_dir, "documents"), chunk_tokens=32, stride=24)
 
 
+def _q_pack_sequences(spark, sf_dir):
+    # concat-and-cut packing over DISJOINT chunks (stride == chunk_tokens):
+    # the distributed prefix sum must agree with the oracle's sequential
+    # window sum bit-for-bit, whatever the cluster size
+    from nimbus_crawler_spark.operators.chunking import chunk_documents, pack_sequences
+
+    chunks = chunk_documents(_t(spark, sf_dir, "documents"), chunk_tokens=32, stride=32)
+    return pack_sequences(chunks, seq_len=512)
+
+
 def _q_lang_id(spark, sf_dir):
     from nimbus_crawler_spark.operators.textstats import lang_id
 
@@ -736,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": _q_fingerprints,
         "token_counts": _q_token_counts,
         "chunk_documents": _q_chunk_documents,
+        "pack_sequences": _q_pack_sequences,
         "lang_id": _q_lang_id,
         "quality": _q_quality,
         "repetition": _q_repetition,
@@ -1060,6 +1071,33 @@ SELECT doc_id,
   CAST(len(tk[start + 1 : start + 32]) AS INT) AS n_chunk_tokens,
   array_to_string(tk[start + 1 : start + 32], ' ') AS chunk_text
 FROM s
+""",
+        "pack_sequences": r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+  FROM documents
+), s AS (
+  SELECT doc_id, tk, unnest(range(0, len(tk), 32)) AS start
+  FROM t WHERE len(tk) > 0
+), c AS (
+  SELECT doc_id,
+    CAST(start // 32 AS INT) AS chunk_idx,
+    CAST(start AS INT) AS start_token,
+    CAST(len(tk[start + 1 : start + 32]) AS INT) AS n_chunk_tokens,
+    array_to_string(tk[start + 1 : start + 32], ' ') AS chunk_text
+  FROM s
+), p AS (
+  SELECT *,
+    CAST(coalesce(sum(n_chunk_tokens) OVER (
+      ORDER BY doc_id, chunk_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset
+  FROM c
+)
+SELECT doc_id, chunk_idx, start_token, n_chunk_tokens, chunk_text, token_offset,
+  CAST(token_offset // 512 AS BIGINT) AS seq_id,
+  CAST(token_offset % 512 AS BIGINT) AS offset_in_seq
+FROM p
 """,
         "lang_id": r"""
 WITH s AS (

@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "lang_id",
     "token_counts",
     "chunk_documents",
+    "pack_sequences",
     "term_stats",
     "inverted_index",
     "bpe_pair_counts",

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nimbus_crawler_spark.operators.ranking import global_running_sum
+
 
 def chunk_documents(
     docs: DataFrame,
@@ -64,4 +66,42 @@ def chunk_documents(
         F.col("_s").cast("int").alias("start_token"),
         F.size(window).cast("int").alias("n_chunk_tokens"),
         F.array_join(window, " ").alias("chunk_text"),
+    )
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    seq_len: int = 1024,
+    order_cols: tuple[str, ...] = ("doc_id", "chunk_idx"),
+    token_col: str = "n_chunk_tokens",
+) -> DataFrame:
+    """Concatenate-and-cut sequence packing (GPT-style pretraining batches):
+    lay every chunk's tokens end to end in ``order_cols`` order and cut the
+    stream every ``seq_len`` tokens; each chunk learns which training
+    sequence its first token lands in and at what offset.
+
+    ``token_offset`` is the chunk's exclusive global prefix sum of
+    ``token_col`` — computed by the same three-step distributed shape that
+    gives the crawl its bit-stable ``crawl_seq`` (range exchange →
+    per-range prefix windows → broadcast offsets; ``global_running_sum``),
+    so NO single-partition window exists at any corpus size and the
+    assignment is bit-stable across cluster sizes. ``order_cols`` must be
+    unique tuples (true for (doc_id, chunk_idx) by construction).
+
+    Returns the chunk rows plus ``token_offset``, ``seq_id``
+    (= token_offset // seq_len) and ``offset_in_seq`` (= token_offset %
+    seq_len). A chunk may straddle a cut — exactly as concat-and-cut
+    training pipelines do; consumers that forbid straddling filter on
+    ``offset_in_seq + n_chunk_tokens <= seq_len``.
+    """
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    with_offset = global_running_sum(
+        chunks, list(order_cols), F.col(token_col), "token_offset"
+    )
+    return with_offset.select(
+        *chunks.columns,
+        "token_offset",
+        (F.col("token_offset") / seq_len).cast("long").alias("seq_id"),
+        (F.col("token_offset") % seq_len).cast("long").alias("offset_in_seq"),
     )

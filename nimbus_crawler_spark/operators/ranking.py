@@ -24,18 +24,21 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def global_row_number(
+def global_running_sum(
     df: DataFrame,
     order_cols: list[str | Column],
+    value: Column,
     out_col: str,
     num_partitions: int = 32,
-    start: int = 0,
 ) -> DataFrame:
-    """Add ``out_col`` = 0-based global row number by ``order_cols`` + start.
+    """Add ``out_col`` = EXCLUSIVE global prefix sum of ``value`` by the
+    ``order_cols`` total order (the first row gets 0; order keys must be
+    unique tuples).
 
-    Order keys must be a total order (unique tuples) — true for crawl
-    (depth, seq) by the disjoint-stride construction (parser.go:196-208).
-    """
+    Same three-step distributed shape as ``global_row_number`` (which is
+    the ``value = 1`` special case): range exchange, per-range local
+    prefix-sum windows in parallel, per-range totals → cumulative offsets
+    (a window over ≤num_partitions tiny rows) broadcast-joined back."""
     part = df.repartitionByRange(num_partitions, *order_cols).withColumn(
         "_gpid", F.spark_partition_id()
     )
@@ -48,19 +51,45 @@ def global_row_number(
     # configuration we pin the partitioning by materializing it first.
     if df.sparkSession.conf.get("spark.sql.exchange.reuse", "true").lower() != "true":
         part = part.localCheckpoint(eager=True)
-    w_local = Window.partitionBy("_gpid").orderBy(*order_cols)
-    ranked = part.withColumn("_glrn", F.row_number().over(w_local))
+    w_local = (
+        Window.partitionBy("_gpid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = part.withColumn(
+        "_glcs", F.coalesce(F.sum(value).over(w_local), F.lit(0)).cast("long")
+    )
     # tiny side-plan: one row per non-empty range partition; the range
     # exchange is reused (ReusedExchange) so the base is not recomputed
     w_cum = Window.orderBy("_gpid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
         part.groupBy("_gpid")
-        .agg(F.count("*").alias("_gn"))
+        .agg(F.sum(value).alias("_gn"))
         .withColumn("_goff", F.coalesce(F.sum("_gn").over(w_cum), F.lit(0)).cast("long"))
         .select("_gpid", "_goff")
     )
     return (
         ranked.join(F.broadcast(offsets), "_gpid")
-        .withColumn(out_col, (F.col("_goff") + F.col("_glrn") - 1 + F.lit(start)).cast("long"))
-        .drop("_gpid", "_glrn", "_goff")
+        .withColumn(out_col, (F.col("_goff") + F.col("_glcs")).cast("long"))
+        .drop("_gpid", "_glcs", "_goff")
     )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    out_col: str,
+    num_partitions: int = 32,
+    start: int = 0,
+) -> DataFrame:
+    """Add ``out_col`` = 0-based global row number by ``order_cols`` + start.
+
+    Order keys must be a total order (unique tuples) — true for crawl
+    (depth, seq) by the disjoint-stride construction (parser.go:196-208).
+    The exclusive prefix COUNT of rows before a row IS its 0-based ordinal,
+    so this is ``global_running_sum`` of a literal 1.
+    """
+    with_sum = global_running_sum(df, order_cols, F.lit(1), out_col, num_partitions)
+    if start:
+        with_sum = with_sum.withColumn(out_col, (F.col(out_col) + F.lit(start)).cast("long"))
+    return with_sum

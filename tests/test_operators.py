@@ -959,3 +959,31 @@ class TestChunkDocuments:
             chunk_documents(df, chunk_tokens=0)
         with pytest.raises(ValueError):
             chunk_documents(df, stride=0)
+
+
+class TestPackSequences:
+    def test_matches_sequential_packing(self, spark):
+        from nimbus_crawler_spark.operators.chunking import pack_sequences
+
+        rows = [(d, c, 7 + (d * 3 + c) % 9) for d in range(6) for c in range(4)]
+        df = spark.createDataFrame(rows, "doc_id long, chunk_idx int, n_chunk_tokens int")
+        got = {
+            (r["doc_id"], r["chunk_idx"]): (r["token_offset"], r["seq_id"], r["offset_in_seq"])
+            for r in pack_sequences(df, seq_len=16).collect()
+        }
+        off = 0
+        for d, c, n in sorted(rows):
+            assert got[(d, c)] == (off, off // 16, off % 16), (d, c)
+            off += n
+
+    def test_layout_invariant(self, spark):
+        """The distributed prefix sum must be bit-stable across input
+        partition layouts (the cluster-size-independence the crawl_seq
+        machinery guarantees)."""
+        from nimbus_crawler_spark.operators.chunking import pack_sequences
+
+        rows = [(d, c, 1 + (d + c) % 13) for d in range(40) for c in range(3)]
+        df = spark.createDataFrame(rows, "doc_id long, chunk_idx int, n_chunk_tokens int")
+        a = sorted(map(tuple, pack_sequences(df.repartition(1), seq_len=32).collect()))
+        b = sorted(map(tuple, pack_sequences(df.repartition(17), seq_len=32).collect()))
+        assert a == b
