@@ -82,8 +82,8 @@ def pack_sequences(
 
     ``token_offset`` is the chunk's exclusive global prefix sum of
     ``token_col`` — computed by the same three-step distributed shape that
-    gives the crawl its bit-stable ``crawl_seq`` (range exchange →
-    per-range prefix windows → broadcast offsets; ``global_running_sum``),
+    gives the crawl its bit-stable ``crawl_seq`` (literal-bounds buckets →
+    per-bucket prefix windows → broadcast offsets; ``global_running_sum``),
     so NO single-partition window exists at any corpus size and the
     assignment is bit-stable across cluster sizes. ``order_cols`` must be
     unique tuples (true for (doc_id, chunk_idx) by construction).

@@ -5,23 +5,73 @@ task — fine at 10^5 rows, a serial-stage scale-killer at 10^8 (the exact
 shape a politeness-unbounded mega round produces). ``global_row_number``
 computes the same total-order ordinal in three fully-parallel steps:
 
-1. ``repartitionByRange(n, keys)`` — range exchange puts partition i's keys
-   entirely before partition i+1's (equal keys co-located, so the result is
-   boundary-placement-independent as long as the order keys are unique);
-2. per-partition ``row_number`` windows (parallel, one group per range);
-3. per-partition row counts → cumulative offsets (a window over ≤n tiny
-   rows) broadcast-joined back.
+1. assign each row a bucket id ``_gpid`` = the number of pre-computed range
+   bounds ≤ its key — a PURE EXPRESSION of the row's own order key, so
+   every branch of the plan that evaluates it agrees by construction;
+2. per-bucket ``row_number`` windows (parallel, one group per bucket);
+3. per-bucket row counts → cumulative offsets (a window over ≤n tiny rows)
+   broadcast-joined back.
 
-The range exchange is sampled deterministically by Spark's RangePartitioner,
-and the ordinal itself is invariant to where the boundaries land, so the
-output is bit-stable across cluster sizes — required for engine ≡ oracle
-crawl_seq equality (SURVEY §3.4 O1).
+The bounds are sampled once at plan-build time (two driver jobs over the
+column-pruned key projection: a count and a seeded sample) and embedded in
+the plan as literals. Correctness is invariant to WHERE the bounds land —
+a row's ordinal is (#rows in lower buckets) + (#rows before it in its own
+bucket) = #rows before it globally, for ANY monotone bucketing — so the
+output is bit-stable across cluster sizes and reruns; bounds quality only
+affects load balance. This deliberately does NOT use
+``repartitionByRange`` + ``spark_partition_id()``: that shape forks the
+range exchange into two subtrees which Catalyst prunes differently, the
+canonical plans stop matching, ReusedExchange does not fire, and the two
+independently-sampled RangePartitioners place boundaries differently —
+silently corrupting ordinals once partitions outgrow the sample (verified
+at 2M rows: 1.97M wrong ordinals). Required for engine ≡ oracle crawl_seq
+equality (SURVEY §3.4 O1).
+
+Order keys must be unique, non-null tuples of orderable scalar types
+whose Python sort order matches Spark's ascending order (ints/floats,
+UTF-8 strings, dates/timestamps — true for every engine call site).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# Sampled keys per requested bucket. 100 gives the same boundary quality as
+# Spark's own RangePartitioner default (samplePointsPerPartitionHint=20,
+# 3x oversampled) while keeping the collected sample tiny (p * 100 rows).
+_SAMPLE_PER_BUCKET = 100
+
+
+def _range_bounds(
+    df: DataFrame, cols: list[Column], num_partitions: int
+) -> tuple[list[tuple], list]:
+    """Sample ``num_partitions - 1`` ascending range bounds for the key
+    tuple ``cols`` (two driver jobs over the column-pruned key projection).
+    Returns ``(bounds, key_datatypes)``; bounds may be shorter than p-1
+    (deduplicated) or empty (small/empty input → one bucket, still correct).
+    """
+    keys = df.select(*[c.alias(f"_k{i}") for i, c in enumerate(cols)])
+    dtypes = [f.dataType for f in keys.schema.fields]
+    if num_partitions <= 1:
+        return [], dtypes
+    n = keys.count()
+    if n == 0:
+        return [], dtypes
+    target = num_partitions * _SAMPLE_PER_BUCKET
+    if n > target:
+        # seeded Bernoulli sample; 1.05x so short draws still cover p buckets
+        keys = keys.sample(fraction=min(1.0, 1.05 * target / n), seed=0x5EED)
+    rows = sorted(tuple(r) for r in keys.collect())
+    if not rows:
+        return [], dtypes
+    step = len(rows) / num_partitions
+    bounds: list[tuple] = []
+    for i in range(1, num_partitions):
+        b = rows[min(int(i * step), len(rows) - 1)]
+        if not bounds or b > bounds[-1]:
+            bounds.append(b)
+    return bounds, dtypes
 
 
 def global_running_sum(
@@ -33,24 +83,34 @@ def global_running_sum(
 ) -> DataFrame:
     """Add ``out_col`` = EXCLUSIVE global prefix sum of ``value`` by the
     ``order_cols`` total order (the first row gets 0; order keys must be
-    unique tuples).
+    unique non-null tuples).
 
-    Same three-step distributed shape as ``global_row_number`` (which is
-    the ``value = 1`` special case): range exchange, per-range local
-    prefix-sum windows in parallel, per-range totals → cumulative offsets
-    (a window over ≤num_partitions tiny rows) broadcast-joined back."""
-    part = df.repartitionByRange(num_partitions, *order_cols).withColumn(
-        "_gpid", F.spark_partition_id()
-    )
-    # INVARIANT: `ranked` and `offsets` below both contain the range
-    # exchange; their _gpid values agree because Spark executes the exchange
-    # ONCE and reuses it (ReusedExchange — the two subtrees are canonically
-    # identical). With exchange reuse disabled the exchange would run twice
-    # and RangePartitioner's rdd-id-seeded sampling could place boundaries
-    # differently per run, silently corrupting the ordinals — so in that
-    # configuration we pin the partitioning by materializing it first.
-    if df.sparkSession.conf.get("spark.sql.exchange.reuse", "true").lower() != "true":
-        part = part.localCheckpoint(eager=True)
+    Three-step distributed shape (``global_row_number`` is the ``value=1``
+    special case): literal-bounds bucket assignment, per-bucket local
+    prefix-sum windows in parallel, per-bucket totals → cumulative offsets
+    (a window over ≤num_partitions tiny rows) broadcast-joined back.
+    ONE full-row shuffle (the window's hash exchange on ``_gpid``); the
+    offsets branch re-scans only the pruned (key, value) columns."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    bounds, dtypes = _range_bounds(df, cols, num_partitions)
+    key = F.struct(*[c.alias(f"_k{i}") for i, c in enumerate(cols)])
+    if bounds:
+        # literal bound structs, cast field-wise to the exact key dtypes so
+        # the struct comparison resolves without implicit coercion surprises.
+        # A plain sum of comparisons, not a higher-order-function lambda —
+        # lambdas capturing outer attributes break Catalyst when the
+        # expression is duplicated into the offsets branch. O(p) comparisons
+        # per row; p is the shuffle-partition count (tens to hundreds).
+        lits = [
+            F.struct(
+                *[F.lit(v).cast(dt).alias(f"_k{i}") for i, (v, dt) in enumerate(zip(b, dtypes))]
+            )
+            for b in bounds
+        ]
+        gpid = sum(((b <= key).cast("int") for b in lits), start=F.lit(0))
+    else:
+        gpid = F.lit(0)
+    part = df.withColumn("_gpid", gpid)
     w_local = (
         Window.partitionBy("_gpid")
         .orderBy(*order_cols)
@@ -59,8 +119,9 @@ def global_running_sum(
     ranked = part.withColumn(
         "_glcs", F.coalesce(F.sum(value).over(w_local), F.lit(0)).cast("long")
     )
-    # tiny side-plan: one row per non-empty range partition; the range
-    # exchange is reused (ReusedExchange) so the base is not recomputed
+    # tiny side-plan: one row per non-empty bucket. _gpid is the same literal
+    # expression in both branches, so the branches agree even though this one
+    # re-executes the (column-pruned) scan independently.
     w_cum = Window.orderBy("_gpid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
         part.groupBy("_gpid")

@@ -307,7 +307,7 @@ def run_round(
     # scanned (and hashed) exactly once per round.
     #
     # crawl_seq: global fetch order = frontier priority (depth, seq),
-    # computed by the range-partitioned distributed rank (no single-
+    # computed by the literal-bounds distributed rank (no single-
     # partition window — scale-safe for politeness-unbounded mega rounds).
     from ..operators.ranking import global_row_number
 

@@ -425,12 +425,11 @@ class TestMediaFixture:
         assert len(idx) == len(set(idx)) and all(0 <= i < 7 for i in idx)
 
 
-class TestGlobalRowNumberExchangeReuse:
+class TestGlobalRowNumberDeterministicBounds:
     def test_ordinals_correct_with_exchange_reuse_disabled(self, spark):
-        """Regression for the reuse-ordinal invariant (ranking.py): with
-        spark.sql.exchange.reuse=false the range exchange would otherwise run
-        twice with possibly different sampled boundaries; the localCheckpoint
-        fallback must keep ordinals exact."""
+        """The bucket id is a literal-bounds expression of the row's own key,
+        so ordinals must stay exact even with exchange reuse disabled (the
+        configuration that corrupted the old spark_partition_id design)."""
         from nimbus_crawler_spark.operators.ranking import global_row_number
 
         spark.conf.set("spark.sql.exchange.reuse", "false")
@@ -446,6 +445,32 @@ class TestGlobalRowNumberExchangeReuse:
             assert rns == list(range(3, 3 + len(rows)))
         finally:
             spark.conf.set("spark.sql.exchange.reuse", "true")
+
+    def test_sampled_bounds_permutation_and_parallelism_stability(self, spark):
+        """Regression for the round-5 ordinal-corruption bug: the old
+        repartitionByRange fork relied on ReusedExchange, which Catalyst's
+        divergent column pruning defeats — at 2M rows 1.97M ordinals came out
+        wrong. With literal sampled bounds the ordinal is bounds-invariant:
+        n > num_partitions * 100 here forces PARTIAL sampling (the regime the
+        old design corrupted), string keys exercise the UTF-8 ordering match,
+        and two different bucket counts must agree bit-for-bit."""
+        from pyspark.sql import functions as F
+
+        from nimbus_crawler_spark.operators.ranking import global_row_number
+
+        n = 40_000
+        df = spark.range(n).select(
+            F.concat(
+                F.lit("u"), F.format_string("%07d", (F.col("id") * F.lit(48271)) % F.lit(n))
+            ).alias("key")
+        )
+        a = global_row_number(df, ["key"], "rn", num_partitions=16)
+        stats = a.agg(
+            F.min("rn").alias("mn"), F.max("rn").alias("mx"), F.countDistinct("rn").alias("d")
+        ).collect()[0]
+        assert (stats.mn, stats.mx, stats.d) == (0, n - 1, n)
+        b = global_row_number(df, ["key"], "rn2", num_partitions=5)
+        assert a.join(b, "key").filter("rn != rn2").count() == 0
 
 
 class TestConnectedComponents:
