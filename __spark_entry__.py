@@ -325,6 +325,42 @@ def _q_stratified_topk(spark, sf_dir):
     return stratified_topk(_t(spark, sf_dir, "documents"), k=5)
 
 
+def _q_hash_split(spark, sf_dir):
+    # the canonical 80/10/10 train/val/test partition; deterministic
+    # hash assignment, so the oracle recomputes the identical CASE
+    from nimbus_crawler_spark.operators.sampling import hash_split
+
+    return hash_split(
+        _t(spark, sf_dir, "documents"), {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
+def _q_boilerplate_lines(spark, sf_dir):
+    # RefinedWeb-style cross-document line removal. The synthetic corpus has
+    # no newlines, so the gate first reflows each document into 3-token
+    # lines (the chunker at stride == chunk_tokens, joined by \n) — at
+    # sf0.01 that yields 9.2k lines, ~1.4k of which repeat across >= 2 docs,
+    # exercising both the drop and the keep path plus full reassembly
+    from pyspark.sql import functions as F
+
+    from nimbus_crawler_spark.operators.chunking import chunk_documents
+    from nimbus_crawler_spark.operators.textdedup import remove_repeated_lines
+
+    chunks = chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=3, stride=3
+    )
+    reflowed = chunks.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text"))),
+                lambda x: x["chunk_text"],
+            ),
+            "\n",
+        ).alias("text")
+    )
+    return remove_repeated_lines(reflowed, min_docs=2)
+
+
 def _q_inverted_index(spark, sf_dir):
     from nimbus_crawler_spark.operators.indexing import inverted_index
 
@@ -758,6 +794,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_histogram": _q_quality_histogram,
         "mixture_sample": _q_mixture_sample,
         "stratified_topk": _q_stratified_topk,
+        "hash_split": _q_hash_split,
+        "boilerplate_lines": _q_boilerplate_lines,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_survivors": _q_dedup_survivors,
         "decontaminate": _q_decontaminate,
@@ -1187,6 +1225,50 @@ WHERE CASE source
   WHEN 'src2' THEN sample_key < '40000000'
   WHEN 'src3' THEN FALSE
   ELSE sample_key < '19999999' END
+""",
+        # thresholds are the cumulative fractions as fixed-width hex:
+        # floor(0.8*2^32) = 0xcccccccc, floor(0.9*2^32) = 0xe6666666
+        "hash_split": r"""
+WITH s AS (
+  SELECT doc_id,
+    substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS sample_key
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN sample_key < 'cccccccc' THEN 'train'
+       WHEN sample_key < 'e6666666' THEN 'val'
+       ELSE 'test' END AS split,
+  sample_key
+FROM s
+""",
+        # same 3-token reflow as the Spark gate, then the operator
+        # semantics: a line is boilerplate iff it appears (trim-exact) in
+        # >= 2 distinct documents; survivors rejoin in original order
+        "boilerplate_lines": r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+  FROM documents
+), s AS (
+  SELECT doc_id, tk, unnest(range(0, len(tk), 3)) AS start
+  FROM t WHERE len(tk) > 0
+), lines AS (
+  SELECT doc_id, CAST(start // 3 AS INT) AS pos,
+         array_to_string(tk[start + 1 : start + 3], ' ') AS line
+  FROM s
+), df AS (
+  SELECT line, count(DISTINCT doc_id) AS ldf FROM lines GROUP BY line
+), kept AS (
+  SELECT l.doc_id, l.pos, l.line FROM lines l JOIN df USING (line)
+  WHERE ldf < 2
+), tot AS (
+  SELECT doc_id, count(*) AS n FROM lines GROUP BY doc_id
+)
+SELECT t.doc_id,
+  coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text_clean,
+  CAST(count(k.line) AS INT) AS n_lines_kept,
+  CAST(t.n - count(k.line) AS INT) AS n_lines_dropped
+FROM tot t LEFT JOIN kept k USING (doc_id)
+GROUP BY t.doc_id, t.n
 """,
         "stratified_topk": r"""
 WITH m AS (

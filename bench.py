@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "quality_histogram",
     "mixture_sample",
     "stratified_topk",
+    "hash_split",
+    "boilerplate_lines",
     "fingerprints",
     "canonicalize",
     "extract_roundtrip",

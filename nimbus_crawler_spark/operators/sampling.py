@@ -88,6 +88,47 @@ def mixture_sample(
     ).where(keep)
 
 
+def hash_split(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: every document gets exactly
+    one named split by where its salted id-hash falls between cumulative
+    fraction thresholds — (doc_id, split, sample_key).
+
+    ``fractions`` is an ordered name→fraction map that must sum to 1.0;
+    thresholds are the cumulative sums rendered as fixed-width hex
+    (``weight_threshold_hex``), and the LAST split takes everything at or
+    above its lower bound, so float dust can never leave a row unassigned.
+    Like ``mixture_sample`` this is a chained CASE over a content-independent
+    md5 key: pure per-row codegen, NO shuffle, NO rand() — the assignment is
+    stable across reruns, executors, partition layouts, and cluster sizes,
+    which is what makes a 100 TB split reproducible and lets train/val/test
+    be materialized in separate passes (or separate jobs) that can never
+    disagree. Changing ``salt`` redraws the partition.
+    """
+    items = list(fractions.items())
+    if len(items) < 2:
+        raise ValueError(f"need >= 2 splits, got {len(items)}")
+    if any(f <= 0.0 for _, f in items):
+        raise ValueError(f"fractions must be positive: {fractions}")
+    total = sum(f for _, f in items)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    key = sample_key_col(F.col(id_col), salt)
+    split: Column = F.lit(items[-1][0])
+    cum = 0.0
+    bounds = []
+    for name, frac in items[:-1]:
+        cum += frac
+        bounds.append((name, weight_threshold_hex(min(cum, 1.0 - 2**-33))))
+    for name, hex_bound in reversed(bounds):
+        split = F.when(key < F.lit(hex_bound), F.lit(name)).otherwise(split)
+    return docs.select(id_col, split.alias("split"), key.alias("sample_key"))
+
+
 def stratified_topk(
     docs: DataFrame,
     k: int,

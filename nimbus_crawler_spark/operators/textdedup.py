@@ -467,3 +467,84 @@ def ngram_jaccard_pairs(
     if observation is not None:
         cands = cands.observe(observation, F.count(F.lit(1)).alias("candidate_pairs"))
     return jaccard_verify(cands, docs, threshold, shingle_n, id_col, text_col, sets=sets)
+
+
+def remove_repeated_lines(
+    docs: DataFrame,
+    min_docs: int = 2,
+    line_sep: str = "\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RefinedWeb/CCNet-style boilerplate line removal: drop every line that
+    occurs (trim-exact) in >= ``min_docs`` DISTINCT documents, and reassemble
+    each document from its surviving lines in original order —
+    (doc_id, text_clean, n_lines_kept, n_lines_dropped).
+
+    Navigation menus, cookie banners, and footer text repeat across a site's
+    pages; a line's cross-document frequency is the cheapest boilerplate
+    signal (RefinedWeb §Line-wise filtering, CCNet paragraph dedup). Lines
+    are compared by ``md5(trim(line))`` so indentation/padding differences
+    collapse; empty lines repeat everywhere and are dropped with the rest.
+    ``line_sep`` is a LITERAL separator (escaped before the split regex) and
+    is also the join separator for ``text_clean``. Every input document
+    returns exactly one row — a document whose lines are all boilerplate
+    survives with ``text_clean = ''`` so downstream length filters (not a
+    silent row loss) decide its fate.
+
+    Scale shape, explicitly:
+    * line doc-frequency = ``distinct(line, doc) -> groupBy(line).count()``
+      — both steps partial-aggregate map-side, so reducers see at most one
+      row per (line, task), never the raw occurrence stream;
+    * the drop decision is a LEFT ANTI join of the line stream against the
+      >=min_docs key set, keyed by the 128-bit line hash. A mega-hot line
+      ("Home") concentrates its rows on one join key; AQE's skew-join
+      splitting handles exactly this shape (the build side is keys-only and
+      replicates per split). Nothing all-pairs, nothing per-doc unbounded;
+    * reassembly groups by doc — the per-task buffer is one document's
+      surviving lines, bounded by document size exactly like the parser;
+    * per-doc line totals come from a pure projection over the original
+      text (``size(split(..))``), NOT a second pass over the line stream.
+
+    Reference analog: none — the crawler dedups whole pages by content hash
+    (internal/parser flow); this extends that to intra-document line
+    granularity for the training-data family.
+    """
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+    import re as _re
+
+    sep_re = _re.escape(line_sep)
+    split_col = F.split(F.col(text_col), sep_re, -1)
+    lines = _spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(split_col).alias("pos", "line"),
+    ).withColumn("_k", F.md5(F.trim(F.col("line"))))
+    boiler = (
+        lines.select("_k", "doc_id")
+        .distinct()
+        .groupBy("_k")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") >= min_docs)
+        .select("_k")
+    )
+    kept = lines.join(boiler, "_k", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            line_sep,
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("_kept"),
+    )
+    totals = docs.select(
+        F.col(id_col).alias("doc_id"), F.size(split_col).alias("_n")
+    )
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        F.coalesce("_kept", F.lit(0)).cast("int").alias("n_lines_kept"),
+        (F.col("_n") - F.coalesce("_kept", F.lit(0))).cast("int").alias("n_lines_dropped"),
+    )

@@ -1012,3 +1012,85 @@ class TestPackSequences:
         a = sorted(map(tuple, pack_sequences(df.repartition(1), seq_len=32).collect()))
         b = sorted(map(tuple, pack_sequences(df.repartition(17), seq_len=32).collect()))
         assert a == b
+
+
+class TestHashSplit:
+    def test_assignment_matches_manual_md5_and_is_layout_stable(self, spark):
+        """Every row lands in exactly one split; the assignment equals the
+        hand-computed cumulative-threshold rule and survives repartitioning."""
+        import hashlib
+
+        from nimbus_crawler_spark.operators.sampling import hash_split
+
+        docs = spark.range(500).withColumnRenamed("id", "doc_id")
+        got = {r["doc_id"]: r["split"] for r in
+               hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+        assert len(got) == 500  # total, no row lost or duplicated
+
+        t1 = format(int(0.8 * 2**32), "08x")
+        t2 = format(int(0.9 * 2**32), "08x")
+        for i in range(500):
+            k = hashlib.md5(f"split:{i}".encode()).hexdigest()[:8]
+            exp = "train" if k < t1 else ("val" if k < t2 else "test")
+            assert got[i] == exp
+        regot = {r["doc_id"]: r["split"] for r in
+                 hash_split(docs.repartition(7), {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+        assert regot == got
+
+    def test_rejects_bad_fractions(self, spark):
+        import pytest
+
+        from nimbus_crawler_spark.operators.sampling import hash_split
+
+        docs = spark.range(2).withColumnRenamed("id", "doc_id")
+        with pytest.raises(ValueError):
+            hash_split(docs, {"train": 0.8, "val": 0.1})  # sums to 0.9
+        with pytest.raises(ValueError):
+            hash_split(docs, {"all": 1.0})  # single split
+        with pytest.raises(ValueError):
+            hash_split(docs, {"a": 1.2, "b": -0.2})  # out of range
+
+
+class TestRemoveRepeatedLines:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "Home\nAbout\nunique alpha\nCopyright 2026"),
+                (2, "Home\nunique beta\nCopyright 2026"),
+                (3, "unique gamma\n  Home  \nsolo line"),
+                (4, "all mine here"),
+                (5, "Home\nCopyright 2026"),  # fully boilerplate
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_matches_python_oracle_order_preserved(self, spark):
+        """Cross-document line df >= 2 drops (trim-exact); survivors rejoin
+        in original order; a fully-boilerplate doc survives with ''."""
+        from nimbus_crawler_spark.operators.textdedup import remove_repeated_lines
+
+        got = {r["doc_id"]: (r["text_clean"], r["n_lines_kept"], r["n_lines_dropped"])
+               for r in remove_repeated_lines(self._docs(spark), min_docs=2).collect()}
+        assert got == {
+            1: ("About\nunique alpha", 2, 2),
+            2: ("unique beta", 1, 2),
+            3: ("unique gamma\nsolo line", 2, 1),  # '  Home  ' trim-matches
+            4: ("all mine here", 1, 0),
+            5: ("", 0, 2),
+        }
+
+    def test_min_docs_bound_and_within_doc_repeats(self, spark):
+        """A line repeated only WITHIN one doc has df 1 and is kept; raising
+        min_docs loosens the filter monotonically."""
+        from nimbus_crawler_spark.operators.textdedup import remove_repeated_lines
+
+        docs = spark.createDataFrame(
+            [(1, "x\nx\nmine"), (2, "y\nshared"), (3, "z\nshared")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r["text_clean"]
+               for r in remove_repeated_lines(docs, min_docs=2).collect()}
+        assert got == {1: "x\nx\nmine", 2: "y", 3: "z"}
+        loose = {r["doc_id"]: r["n_lines_dropped"]
+                 for r in remove_repeated_lines(docs, min_docs=3).collect()}
+        assert loose == {1: 0, 2: 0, 3: 0}
