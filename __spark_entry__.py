@@ -335,6 +335,16 @@ def _q_hash_split(spark, sf_dir):
     )
 
 
+def _q_epoch_shuffle(spark, sf_dir):
+    # one epoch's deterministic training order: salted-hash key + the
+    # distributed (literal-bounds prefix-sum) global rank of that key
+    from nimbus_crawler_spark.operators.sampling import epoch_shuffle
+
+    return epoch_shuffle(_t(spark, sf_dir, "documents"), epoch=3).select(
+        "doc_id", "shuffle_key", "epoch_pos"
+    )
+
+
 def _q_boilerplate_lines(spark, sf_dir):
     # RefinedWeb-style cross-document line removal. The synthetic corpus has
     # no newlines, so the gate first reflows each document into 3-token
@@ -795,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _q_mixture_sample,
         "stratified_topk": _q_stratified_topk,
         "hash_split": _q_hash_split,
+        "epoch_shuffle": _q_epoch_shuffle,
         "boilerplate_lines": _q_boilerplate_lines,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_survivors": _q_dedup_survivors,
@@ -1239,6 +1250,16 @@ SELECT doc_id,
        ELSE 'test' END AS split,
   sample_key
 FROM s
+""",
+        # the distributed rank must agree with a sequential ROW_NUMBER over
+        # the same (key, id) total order — bit-exact, any cluster size
+        "epoch_shuffle": r"""
+SELECT doc_id,
+  md5('epoch3:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+  CAST(ROW_NUMBER() OVER (
+    ORDER BY md5('epoch3:' || CAST(doc_id AS VARCHAR)), doc_id
+  ) - 1 AS BIGINT) AS epoch_pos
+FROM documents
 """,
         # same 3-token reflow as the Spark gate, then the operator
         # semantics: a line is boilerplate iff it appears (trim-exact) in

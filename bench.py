@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "mixture_sample",
     "stratified_topk",
     "hash_split",
+    "epoch_shuffle",
     "boilerplate_lines",
     "fingerprints",
     "canonicalize",

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from nimbus_crawler_spark.operators.ranking import global_row_number
 from nimbus_crawler_spark.operators.similarity import topk_per_group
 from nimbus_crawler_spark.operators.textstats import (
     _quality_feature_cols,
@@ -153,3 +154,34 @@ def stratified_topk(
     return topk_per_group(
         scored, source_col, [F.desc("quality_score"), F.asc(id_col)], k
     ).select(id_col, source_col, "quality_score", "rank")
+
+
+def epoch_shuffle(
+    docs: DataFrame,
+    epoch: int,
+    id_col: str = "doc_id",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Deterministic global training-order shuffle for one epoch: every row
+    gets ``shuffle_key = md5("epoch<n>:<id>")`` and ``epoch_pos`` = its
+    0-based rank in the total order (shuffle_key, id).
+
+    The step between packing and the data loader: each epoch must visit the
+    corpus in a different-but-reproducible random order. ``ORDER BY rand()``
+    is neither (partition-layout-dependent and unstable across reruns); a
+    salted content-independent hash is both — epoch ``n`` is one salt, and
+    a resumed/re-run job re-derives the identical order on any cluster
+    size. The rank comes from ``global_row_number`` (the literal-bounds
+    prefix-sum shape, one full-row shuffle, NO single-partition window), so
+    the position column — what a loader needs to seek/shard the epoch — is
+    bit-stable across partition layouts too. The full 128-bit key avoids
+    birthday collisions at corpus scale and ``id_col`` tie-breaks make the
+    order total even under a collision.
+    """
+    key = F.md5(
+        F.concat_ws(":", F.lit(f"epoch{epoch}"), F.col(id_col).cast("string"))
+    )
+    keyed = docs.withColumn("shuffle_key", key)
+    return global_row_number(
+        keyed, ["shuffle_key", id_col], "epoch_pos", num_partitions
+    )

@@ -1094,3 +1094,29 @@ class TestRemoveRepeatedLines:
         loose = {r["doc_id"]: r["n_lines_dropped"]
                  for r in remove_repeated_lines(docs, min_docs=3).collect()}
         assert loose == {1: 0, 2: 0, 3: 0}
+
+
+class TestEpochShuffle:
+    def test_matches_sequential_rank_and_redraws_per_epoch(self, spark):
+        """epoch_pos must equal the sequential rank of (md5 key, id); a
+        different epoch permutes; a different partition layout does not."""
+        import hashlib
+
+        from nimbus_crawler_spark.operators.sampling import epoch_shuffle
+
+        docs = spark.range(300).withColumnRenamed("id", "doc_id").repartition(5)
+        got = {r["doc_id"]: (r["shuffle_key"], r["epoch_pos"])
+               for r in epoch_shuffle(docs, epoch=1, num_partitions=6).collect()}
+
+        keys = {i: hashlib.md5(f"epoch1:{i}".encode()).hexdigest() for i in range(300)}
+        order = sorted(range(300), key=lambda i: (keys[i], i))
+        for pos, i in enumerate(order):
+            assert got[i] == (keys[i], pos)
+
+        other = {r["doc_id"]: r["epoch_pos"]
+                 for r in epoch_shuffle(docs, epoch=2, num_partitions=6).collect()}
+        assert other != {i: p for i, (_, p) in got.items()}  # epoch redraws
+        relayout = {r["doc_id"]: r["epoch_pos"]
+                    for r in epoch_shuffle(docs.repartition(11), epoch=1,
+                                           num_partitions=3).collect()}
+        assert relayout == {i: p for i, (_, p) in got.items()}  # layout-stable
