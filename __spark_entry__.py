@@ -371,6 +371,38 @@ def _q_boilerplate_lines(spark, sf_dir):
     return remove_repeated_lines(reflowed, min_docs=2)
 
 
+def _q_unigram_lm(spark, sf_dir):
+    # CCNet-style perplexity-proxy scoring; top_vocab=24 on the ~31-term
+    # sf0.01 vocabulary exercises BOTH lookup paths (in-vocab log-prob and
+    # the shared-OOV-mass fallback)
+    from nimbus_crawler_spark.operators.lm import unigram_lm_score
+
+    return unigram_lm_score(_t(spark, sf_dir, "documents"), top_vocab=24)
+
+
+def _q_pagerank(spark, sf_dir):
+    """Link-graph PageRank — the canonical crawl-frontier priority signal,
+    run over a deterministic synthetic link graph on the documents table
+    (doc d links to (d + 1 + ((31·d + j) mod (n-1))) mod n for
+    j in 0..d mod 3 — out-degree 1-3, never a self-loop, so no dangling
+    mass and the fixed-iteration oracle unrolls exactly)."""
+    from nimbus_crawler_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.sequence(F.lit(0), F.col("doc_id") % 3)).alias("j"),
+    ).select(
+        "src",
+        F.pmod(
+            F.col("src") + 1 + F.pmod(F.col("src") * 31 + F.col("j"), F.lit(n - 1)),
+            F.lit(n),
+        ).alias("dst"),
+    )
+    return pagerank(edges, iters=5).withColumnRenamed("node", "doc_id")
+
+
 def _q_inverted_index(spark, sf_dir):
     from nimbus_crawler_spark.operators.indexing import inverted_index
 
@@ -798,6 +830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": _q_repetition,
         "curation": _q_curation,
         "term_stats": _q_term_stats,
+        "unigram_lm": _q_unigram_lm,
+        "pagerank": _q_pagerank,
         "inverted_index": _q_inverted_index,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "bm25_topk": _q_bm25_topk,
@@ -915,6 +949,38 @@ SELECT c.a, c.b, {cos} AS cosine
 FROM cand c JOIN v p ON p.vec_id = c.a JOIN v q ON q.vec_id = c.b
 WHERE {cos} >= {thr}
 """
+
+
+def _pagerank_oracle(iters: int) -> str:
+    """Unrolled fixed-iteration PageRank over the deterministic synthetic
+    link graph of ``_q_pagerank`` — one CTE per power iteration; damping and
+    teleport written as CAST(... AS DOUBLE) so both engines run the
+    identical double arithmetic."""
+    parts = [
+        """nn AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT d.doc_id AS src,
+         (d.doc_id + 1 + ((d.doc_id * 31 + u.j) % ((SELECT n FROM nn) - 1)))
+           % (SELECT n FROM nn) AS dst
+  FROM documents d, unnest(range(0, 1 + d.doc_id % 3)) AS u(j)),
+nodes AS (SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst FROM edges),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""r{k} AS (
+  SELECT b.node,
+         (1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+           + CAST(0.85 AS DOUBLE) * coalesce(sum(p.rank / d.outdeg), 0) AS rank
+  FROM nodes b
+  LEFT JOIN edges e ON e.dst = b.node
+  LEFT JOIN r{k - 1} p ON p.node = e.src
+  LEFT JOIN deg d ON d.src = e.src
+  GROUP BY b.node)"""
+        )
+    ctes = ",\n".join(parts)
+    return f"WITH {ctes}\nSELECT node AS doc_id, round(rank, 9) AS rank FROM r{iters}\n"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1327,6 +1393,30 @@ SELECT token, n_occurrences, n_docs,
        row_number() OVER (ORDER BY n_occurrences DESC, token) AS rank
 FROM k
 """,
+        # unigram LM: top_vocab=24, p(t)=cnt/N for kept tokens, one shared
+        # OOV event with the leftover mass; avg_nll rounded to 6 dp in BOTH
+        # engines (float sum order varies across engines)
+        "unigram_lm": r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+  FROM documents),
+t AS (SELECT doc_id, unnest(tk) AS token FROM toks),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY doc_id, token),
+counts AS (SELECT token, sum(tf) AS cnt FROM tf GROUP BY token),
+kept AS (SELECT token, cnt FROM counts ORDER BY cnt DESC, token LIMIT 24),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total FROM counts),
+km AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_kept FROM kept),
+logp AS (SELECT token, ln(CAST(cnt AS DOUBLE) / (SELECT n_total FROM tot)) AS logp FROM kept)
+SELECT tf.doc_id,
+       CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+       round(-sum(tf.tf * coalesce(l.logp,
+                 ln(greatest((SELECT n_total FROM tot) - (SELECT n_kept FROM km), 1.0)
+                    / (SELECT n_total FROM tot))))
+             / sum(tf.tf), 6) AS avg_nll
+FROM tf LEFT JOIN logp l USING (token)
+GROUP BY tf.doc_id
+""",
+        "pagerank": _pagerank_oracle(iters=5),
         "inverted_index": r"""
 WITH toks AS (
   SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS tk

@@ -162,6 +162,77 @@ def dedup_clusters(pairs: DataFrame, src: str = "a", dst: str = "b") -> DataFram
     )
 
 
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed link graph: (node, rank),
+    rank rounded to 9 dp (float summation order differs across engines and
+    partitionings; the rounded value is the deterministic result).
+
+    This is THE canonical crawl-scheduling signal: production crawlers order
+    their frontier by (a variant of) the link-graph rank of the page or its
+    host — the reference's priority queue
+    (/root/reference/internal/frontier/frontier.go) takes the priority as a
+    given; this operator is how a Spark pipeline would compute it between
+    crawl rounds from the links the parser already extracts.
+
+    Semantics: the standard power iteration
+    ``r'(v) = (1-d)/n + d * sum_{u->v} r(u)/outdeg(u)`` run exactly
+    ``iters`` rounds from the uniform start — fixed iteration count, not a
+    convergence test, so the result is deterministic and SQL-unrollable for
+    the oracle. Dangling nodes (no out-edges) leak their mass — the simple
+    published variant; redistribute-to-all costs one extra one-row aggregate
+    per round if ever needed.
+
+    Scale design: out-degrees join the edge list ONCE before the loop and
+    the weighted edge table is checkpointed; each round is then exactly one
+    broadcast-or-shuffle equi-join (ranks onto edges, keyed by src) plus one
+    map-side-combinable hash aggregate (contributions by dst) plus a left
+    join back to the node set — no transitive structure is ever
+    materialized, and ``localCheckpoint`` per round truncates the lineage
+    (same iterative-plan discipline as ``connected_components``). In-degree
+    hot spots (every web graph has them) hit only the AGGREGATE side, which
+    partial-combines map-side; no task ever buffers a neighborhood.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    nodes = (
+        e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
+        .select(F.col("u").alias("node"))
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()  # post-checkpoint count: a cheap stored-rows scan
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
+    weighted = e.join(deg, "u").localCheckpoint(eager=True)
+    teleport = (1.0 - damping) / n
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iters):
+        contribs = (
+            weighted.join(
+                ranks.select(F.col("node").alias("u"), F.col("rank").alias("_r")), "u"
+            )
+            .groupBy("v")
+            .agg(F.sum(F.col("_r") / F.col("outdeg")).alias("_in"))
+        )
+        ranks = (
+            nodes.join(contribs.withColumnRenamed("v", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.round("rank", 9).alias("rank"))
+
+
 def dedup_survivors(
     docs: DataFrame,
     pairs: DataFrame,

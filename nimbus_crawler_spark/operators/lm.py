@@ -1,0 +1,105 @@
+"""Corpus-estimated unigram language-model scoring — the CCNet-style
+"perplexity proxy" quality signal (Wenzek et al. 2020: filter Common Crawl
+by LM score; Gopher/LLaMA curation stacks run the same gate with a KenLM
+model). The sandbox has no KenLM, so the model here is the honest
+first-order version a Spark pipeline can train IN the same job: a unigram
+LM estimated from the corpus itself, capped to a top-``V`` vocabulary with
+all out-of-vocabulary tokens sharing the leftover probability mass — the
+same vocab-cap shape a SentencePiece-vocab KenLM has. Swapping in a real
+KenLM later only changes the broadcast log-prob table, not the plan.
+
+Scale design (the reason the model is vocab-capped):
+* per-doc term frequencies aggregate on the (doc_id, token) composite key —
+  skew-proof (doc_id spreads every stopword) and map-side combinable;
+* corpus counts aggregate ONE pre-combined row per (doc, token), then the
+  top-``V`` cut is a distributed TakeOrdered (orderBy + limit) — never a
+  full-vocabulary sort on one task;
+* the resulting log-prob table is ≤ V rows (a few MB at V = 2^16), so it
+  BROADCASTS into the scoring join — the 10^10-doc token stream never
+  shuffles for the model lookup; the only full shuffle keyed by doc_id is
+  the final per-document average, again map-side combinable.
+
+An uncapped MLE model would make the lookup table |vocab|-sized (10^8-10^9
+rows at web scale) and force the token stream through a sort-merge join —
+the cap is what keeps the scoring pass broadcast-shaped, exactly like the
+production KenLM gate (fixed model, streamed corpus).
+
+Reference analog: none — the crawler stops at extracted text
+(/root/reference/internal/parser/parser.go); this is the training-data
+curation family layered on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nimbus_crawler_spark.operators.textdedup import _tokens
+
+
+def _doc_term_freqs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, token, tf) — whitespace tokens, lowercased; the shared
+    pre-aggregation both the model estimate and the scoring pass consume."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_tokens(F.col(text_col))).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def unigram_lm_score(
+    docs: DataFrame,
+    top_vocab: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document unigram-LM negative log-likelihood:
+    (doc_id, n_tokens, avg_nll) — avg_nll is the mean over the document's
+    tokens of -ln p(token), rounded to 6 dp (float summation order differs
+    across engines; the rounded value is the deterministic result).
+    exp(avg_nll) is the document's unigram perplexity; curation pipelines
+    keep the low-perplexity head / drop the gibberish tail.
+
+    Model: p(t) = count(t) / N for the ``top_vocab`` most frequent tokens
+    (ties broken by token ascending — a deterministic vocabulary), and ALL
+    other tokens share one OOV event with p = max(N - kept_mass, 1) / N.
+    Documents with no tokens produce no row.
+    """
+    if top_vocab < 1:
+        raise ValueError(f"top_vocab must be >= 1, got {top_vocab}")
+    tf = _doc_term_freqs(docs, id_col, text_col)
+    counts = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
+    # distributed TakeOrdered: the vocabulary cut never sorts the full
+    # vocab on one task
+    kept = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(top_vocab)
+    # two one-row aggregates: total corpus mass and kept mass -> the OOV
+    # log-prob is a scalar column via crossJoin(broadcast(...))
+    totals = counts.agg(F.sum("cnt").cast("double").alias("n_total")).crossJoin(
+        kept.agg(F.sum("cnt").cast("double").alias("n_kept"))
+    )
+    logp = (
+        kept.crossJoin(F.broadcast(totals))
+        .select(
+            "token",
+            F.log(F.col("cnt").cast("double") / F.col("n_total")).alias("logp"),
+        )
+    )
+    oov_logp = F.log(
+        F.greatest(F.col("n_total") - F.col("n_kept"), F.lit(1.0)) / F.col("n_total")
+    )
+    return (
+        tf.join(F.broadcast(logp), "token", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                -F.sum(F.col("tf") * F.coalesce(F.col("logp"), oov_logp))
+                / F.sum("tf"),
+                6,
+            ).alias("avg_nll"),
+        )
+    )

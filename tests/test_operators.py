@@ -1120,3 +1120,89 @@ class TestEpochShuffle:
                     for r in epoch_shuffle(docs.repartition(11), epoch=1,
                                            num_partitions=3).collect()}
         assert relayout == {i: p for i, (_, p) in got.items()}  # layout-stable
+
+
+class TestPageRank:
+    def test_matches_python_power_iteration(self, spark):
+        """5-node graph with a hub, a source (no in-edges), and a dangling
+        sink (no out-edges, mass leaks — the documented variant); expected
+        ranks recomputed in-test with the identical arithmetic."""
+        from collections import Counter
+
+        from nimbus_crawler_spark.operators.graph import pagerank
+
+        edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (3, 5)]
+        nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+        n, d = len(nodes), 0.85
+        outdeg = Counter(u for u, _ in edges)
+        r = {v: 1.0 / n for v in nodes}
+        for _ in range(5):
+            inc = {v: 0.0 for v in nodes}
+            for u, v in edges:
+                inc[v] += r[u] / outdeg[u]
+            r = {v: (1.0 - d) / n + d * inc[v] for v in nodes}
+
+        got = {
+            row["node"]: row["rank"]
+            for row in pagerank(
+                spark.createDataFrame(edges, "src long, dst long"), iters=5
+            ).collect()
+        }
+        assert set(got) == set(nodes)
+        for v in nodes:
+            assert got[v] == pytest.approx(r[v], abs=1e-9)
+        # the sink received mass but leaked its own: total mass < 1
+        assert sum(got.values()) < 1.0
+
+    def test_single_iteration_uniform_in_regular_cycle(self, spark):
+        """On a directed cycle every node keeps exactly 1/n at every
+        iteration — a closed-form fixpoint check."""
+        from nimbus_crawler_spark.operators.graph import pagerank
+
+        cyc = [(i, (i + 1) % 4) for i in range(4)]
+        got = {
+            row["node"]: row["rank"]
+            for row in pagerank(
+                spark.createDataFrame(cyc, "src long, dst long"), iters=3
+            ).collect()
+        }
+        for v in range(4):
+            assert got[v] == pytest.approx(0.25, abs=1e-9)
+
+
+class TestUnigramLM:
+    def test_vocab_cap_and_oov_mass(self, spark):
+        """top_vocab=2 keeps {b:3, a:2} of N=7; c and d share the leftover
+        mass 2/7. Expected per-doc NLL recomputed with math.log in-test;
+        the empty doc yields no row."""
+        from nimbus_crawler_spark.operators.lm import unigram_lm_score
+
+        docs = spark.createDataFrame(
+            [(0, "a a b c"), (1, "b b d"), (2, "")], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["avg_nll"])
+            for r in unigram_lm_score(docs, top_vocab=2).collect()
+        }
+        pa, pb, poov = 2 / 7, 3 / 7, 2 / 7
+        exp0 = -(2 * math.log(pa) + math.log(pb) + math.log(poov)) / 4
+        exp1 = -(2 * math.log(pb) + math.log(poov)) / 3
+        assert set(got) == {0, 1}
+        assert got[0][0] == 4 and got[1][0] == 3
+        assert got[0][1] == pytest.approx(exp0, abs=1e-6)
+        assert got[1][1] == pytest.approx(exp1, abs=1e-6)
+
+    def test_uncapped_is_mle(self, spark):
+        """With the whole vocabulary kept, the model is plain MLE and a
+        one-token doc scores exactly -ln(count/N)."""
+        from nimbus_crawler_spark.operators.lm import unigram_lm_score
+
+        docs = spark.createDataFrame(
+            [(0, "x x x"), (1, "y")], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r["avg_nll"]
+            for r in unigram_lm_score(docs, top_vocab=100).collect()
+        }
+        assert got[0] == pytest.approx(-math.log(3 / 4), abs=1e-6)
+        assert got[1] == pytest.approx(-math.log(1 / 4), abs=1e-6)
