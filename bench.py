@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "chunk_documents",
     "pack_sequences",
     "term_stats",
+    "unigram_lm",
+    "pagerank",
     "inverted_index",
     "bpe_pair_counts",
     "bm25_topk",

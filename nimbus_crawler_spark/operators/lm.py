@@ -71,7 +71,14 @@ def unigram_lm_score(
     if top_vocab < 1:
         raise ValueError(f"top_vocab must be >= 1, got {top_vocab}")
     tf = _doc_term_freqs(docs, id_col, text_col)
-    counts = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
+    # materialize the vocabulary ONCE: counts feeds three consumers (the
+    # top-V cut, n_total, n_kept) and unpinned Catalyst would re-plan the
+    # whole tokenize+aggregate subtree per consumer — 4-5 corpus passes
+    # instead of the two a train-then-score pipeline needs (one to estimate
+    # the model, one to score). The checkpoint is vocab-sized, distributed.
+    counts = (
+        tf.groupBy("token").agg(F.sum("tf").alias("cnt")).localCheckpoint(eager=True)
+    )
     # distributed TakeOrdered: the vocabulary cut never sorts the full
     # vocab on one task
     kept = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(top_vocab)
