@@ -9,11 +9,11 @@ import zipfile
 from pyspark.sql import SparkSession
 
 
-def _ship_package(spark: SparkSession) -> None:
-    """Ship this package to executors (the local-mode analog of
-    ``spark-submit --py-files nimbus_crawler_spark.zip`` — north rule's
-    deployment form). Without it, Python workers spawned from a different
-    cwd cannot unpickle our pandas UDFs.
+def package_zip_path() -> str:
+    """Build (idempotently) and return the ``--py-files`` zip of this
+    package — the artifact ``spark-submit --py-files <zip>`` ships to a real
+    cluster's executors (north rule's deployment form; ``tools/
+    submit_crawl.py`` is the matching driver script).
 
     The zip is content-addressed (deterministic timestamps, hash in the
     filename) and kept on disk: executors fetch py-files lazily, so the
@@ -37,10 +37,6 @@ def _ship_package(spark: SparkSession) -> None:
             digest.update(fh.read())
     h = digest.hexdigest()[:16]
 
-    sc = spark.sparkContext
-    shipped = getattr(sc, "_nimbus_shipped", None)
-    if shipped == h:
-        return
     zdir = os.path.join(tempfile.gettempdir(), "nimbus-pyfiles")
     os.makedirs(zdir, exist_ok=True)
     zpath = os.path.join(zdir, f"nimbus_crawler_spark-{h}.zip")
@@ -52,8 +48,19 @@ def _ship_package(spark: SparkSession) -> None:
                     info = zipfile.ZipInfo(rel, date_time=(2026, 1, 1, 0, 0, 0))
                     zf.writestr(info, fh.read())
         os.replace(tmp_path, zpath)
+    return zpath
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executors (the in-session analog of
+    ``spark-submit --py-files``). Without it, Python workers spawned from a
+    different cwd cannot unpickle our pandas UDFs."""
+    zpath = package_zip_path()
+    sc = spark.sparkContext
+    if getattr(sc, "_nimbus_shipped", None) == zpath:
+        return
     sc.addPyFile(zpath)
-    sc._nimbus_shipped = h
+    sc._nimbus_shipped = zpath
 
 
 def build_session(
