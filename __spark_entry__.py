@@ -380,6 +380,18 @@ def _q_unigram_lm(spark, sf_dir):
     return unigram_lm_score(_t(spark, sf_dir, "documents"), top_vocab=24)
 
 
+def _q_importance_weights(spark, sf_dir):
+    # DSIR-style selection: target model from the src0 slice (the "curated
+    # domain"), source model from the whole corpus; top_vocab=24 exercises
+    # the in-vocab and shared-OOV-mass paths of BOTH models
+    from nimbus_crawler_spark.operators.lm import importance_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return importance_weights(
+        docs, docs.where(F.col("source") == "src0"), top_vocab=24
+    )
+
+
 def _q_pagerank(spark, sf_dir):
     """Link-graph PageRank — the canonical crawl-frontier priority signal,
     run over a deterministic synthetic link graph on the documents table
@@ -831,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation": _q_curation,
         "term_stats": _q_term_stats,
         "unigram_lm": _q_unigram_lm,
+        "importance_weights": _q_importance_weights,
         "pagerank": _q_pagerank,
         "inverted_index": _q_inverted_index,
         "bpe_pair_counts": _q_bpe_pair_counts,
@@ -948,6 +961,47 @@ v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT c.a, c.b, {cos} AS cosine
 FROM cand c JOIN v p ON p.vec_id = c.a JOIN v q ON q.vec_id = c.b
 WHERE {cos} >= {thr}
+"""
+
+
+def _unigram_model_ctes(prefix: str, where: str, top_vocab: int) -> str:
+    """CTE block estimating one vocab-capped unigram LM (mirrors
+    operators/lm.py::_unigram_model): ≤top_vocab (token, logp) rows plus
+    one-row total/kept-mass CTEs the scorer reads as scalar subqueries."""
+    return f"""{prefix}_t AS (
+  SELECT doc_id, t AS token
+  FROM documents, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS u(t)
+  {where}),
+{prefix}_tf AS (SELECT doc_id, token, count(*) AS tf FROM {prefix}_t GROUP BY doc_id, token),
+{prefix}_counts AS (SELECT token, sum(tf) AS cnt FROM {prefix}_tf GROUP BY token),
+{prefix}_kept AS (SELECT token, cnt FROM {prefix}_counts ORDER BY cnt DESC, token LIMIT {top_vocab}),
+{prefix}_tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total FROM {prefix}_counts),
+{prefix}_km AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_kept FROM {prefix}_kept),
+{prefix}_logp AS (SELECT token, ln(CAST(cnt AS DOUBLE) / (SELECT n_total FROM {prefix}_tot)) AS logp FROM {prefix}_kept)"""
+
+
+def _oov_logp_sql(prefix: str) -> str:
+    return (
+        f"ln(greatest((SELECT n_total FROM {prefix}_tot) - (SELECT n_kept FROM {prefix}_km), 1.0)"
+        f" / (SELECT n_total FROM {prefix}_tot))"
+    )
+
+
+def _importance_weights_oracle(top_vocab: int) -> str:
+    """DSIR log-ratio: target model over the src0 slice, source model over
+    the full corpus, scored in one pass over the full corpus's tf rows."""
+    return f"""
+WITH {_unigram_model_ctes("tg", "WHERE source = 'src0'", top_vocab)},
+{_unigram_model_ctes("sr", "", top_vocab)}
+SELECT sr_tf.doc_id,
+       CAST(sum(sr_tf.tf) AS BIGINT) AS n_tokens,
+       round(sum(sr_tf.tf * (coalesce(t.logp, {_oov_logp_sql("tg")})
+                             - coalesce(s.logp, {_oov_logp_sql("sr")})))
+             / sum(sr_tf.tf), 6) AS log_importance
+FROM sr_tf
+LEFT JOIN tg_logp t USING (token)
+LEFT JOIN sr_logp s USING (token)
+GROUP BY sr_tf.doc_id
 """
 
 
@@ -1416,6 +1470,7 @@ SELECT tf.doc_id,
 FROM tf LEFT JOIN logp l USING (token)
 GROUP BY tf.doc_id
 """,
+        "importance_weights": _importance_weights_oracle(top_vocab=24),
         "pagerank": _pagerank_oracle(iters=5),
         "inverted_index": r"""
 WITH toks AS (

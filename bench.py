@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "pack_sequences",
     "term_stats",
     "unigram_lm",
+    "importance_weights",
     "pagerank",
     "inverted_index",
     "bpe_pair_counts",

@@ -1206,3 +1206,36 @@ class TestUnigramLM:
         }
         assert got[0] == pytest.approx(-math.log(3 / 4), abs=1e-6)
         assert got[1] == pytest.approx(-math.log(1 / 4), abs=1e-6)
+
+    def test_importance_weights_log_ratio(self, spark):
+        """DSIR log-ratio against a hand-computed two-model oracle: target
+        = doc 0 only, source = all docs, top_vocab=2 so each model has both
+        in-vocab and shared-OOV lookups."""
+        from nimbus_crawler_spark.operators.lm import importance_weights
+
+        docs = spark.createDataFrame(
+            [(0, "a a b"), (1, "b c"), (2, "c c c d")], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["log_importance"])
+            for r in importance_weights(
+                docs, docs.where("doc_id = 0"), top_vocab=2
+            ).collect()
+        }
+        # target (doc 0): a:2, b:1, N=3, both kept, oov mass 1 -> p 1/3
+        # source: c:4, a:2 kept of N=9; b,d share oov mass 3 -> p 3/9
+        lt = {"a": math.log(2 / 3), "b": math.log(1 / 3), "_": math.log(1 / 3)}
+        ls = {"c": math.log(4 / 9), "a": math.log(2 / 9), "_": math.log(3 / 9)}
+
+        def ratio(tok):
+            return lt.get(tok, lt["_"]) - ls.get(tok, ls["_"])
+
+        exp = {
+            0: (3, (2 * ratio("a") + ratio("b")) / 3),
+            1: (2, (ratio("b") + ratio("c")) / 2),
+            2: (4, (3 * ratio("c") + ratio("d")) / 4),
+        }
+        assert set(got) == {0, 1, 2}
+        for k, (n, li) in exp.items():
+            assert got[k][0] == n
+            assert got[k][1] == pytest.approx(li, abs=1e-6)
