@@ -207,6 +207,8 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()  # post-checkpoint count: a cheap stored-rows scan
+    if n == 0:
+        raise ValueError("pagerank: empty edge set (no nodes to rank)")
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
     weighted = e.join(deg, "u").localCheckpoint(eager=True)
     teleport = (1.0 - damping) / n

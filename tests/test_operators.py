@@ -1169,6 +1169,12 @@ class TestPageRank:
         for v in range(4):
             assert got[v] == pytest.approx(0.25, abs=1e-9)
 
+    def test_empty_edges_fail_loudly(self, spark):
+        from nimbus_crawler_spark.operators.graph import pagerank
+
+        with pytest.raises(ValueError, match="empty edge set"):
+            pagerank(spark.createDataFrame([], "src long, dst long")).collect()
+
 
 class TestUnigramLM:
     def test_vocab_cap_and_oov_mass(self, spark):
