@@ -235,6 +235,52 @@ def pagerank(
     return ranks.select("node", F.round("rank", 9).alias("rank"))
 
 
+def host_link_graph(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """The host-level link graph from raw pages: (src_host, dst_host,
+    n_links), self-links and unparseable targets dropped.
+
+    This is the input PageRank-style frontier prioritisation runs on — one
+    tree parse per page via the SAME Arrow-batched kernel the crawl round
+    uses (functions/udfs.py::parse_page_udf, byte-identical semantics to
+    the reference's parser, parser.go:131-144), links exploded JVM-side,
+    then ONE map-side-combinable aggregate keyed by (src_host, dst_host).
+    Page payloads never shuffle — only the exploded host pairs do, already
+    pre-combined per partition; hub hosts (every web graph has them) are
+    spread by the composite key.
+    """
+    from nimbus_crawler_spark.functions.udfs import hostname_udf, parse_page_udf
+
+    parsed = pages.select(
+        hostname_udf(F.col(url_col)).alias("src_host"),
+        parse_page_udf(F.col(html_col), F.col(url_col)).alias("_p"),
+    )
+    return (
+        parsed.select("src_host", F.explode("_p.links").alias("_link"))
+        .select("src_host", hostname_udf(F.col("_link")).alias("dst_host"))
+        .where(
+            F.col("dst_host").isNotNull() & (F.col("dst_host") != F.col("src_host"))
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
+def host_rank(
+    pages: DataFrame, iters: int = 5, damping: float = 0.85
+) -> DataFrame:
+    """Host-level PageRank straight from raw pages: (host, rank) — the
+    composition a crawler runs between rounds to reprioritise its frontier
+    (distinct host→host edges, the conventional host-graph formulation)."""
+    edges = host_link_graph(pages).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return pagerank(edges, iters=iters, damping=damping).withColumnRenamed(
+        "node", "host"
+    )
+
+
 def dedup_survivors(
     docs: DataFrame,
     pairs: DataFrame,
