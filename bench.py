@@ -709,7 +709,11 @@ def run_scaling_phase() -> None:
                 f"weather) AND, with ≥2 mid-run bw readings (polled every "
                 f"~20 s), their median ≥ {bw_thresh} GB/s (median not min: "
                 f"one reading can be the rep's own writeback dip); corpus "
-                f"picked by a storm-corpus pathfinder rep, "
+                f"picked by a storm-corpus pathfinder rep (one retry after a "
+                f"quiet re-probe iff it failed ONLY the mid-run-bw criterion "
+                f"with clean steal+brackets — post-main-phase writeback "
+                f"self-noise, not weather; a ≤60 s Dirty+Writeback settle "
+                f"precedes it), "
                 f"base schedule L,H,H,H,L with no inline retries, "
                 f"then a retry pass: high until {reps_high} valid or budget "
                 f"out, low only if no valid low sample; retries unused: "
@@ -995,16 +999,67 @@ def run_scaling_phase() -> None:
     #   valid → quiet confirmed: the ratio runs on the full corpus; the
     #     pathfinder sample is set aside (different corpus — it must never
     #     mix into the ratio's medians, though it stays in the samples log).
-    #   invalid/aborted/crashed → storm mode on the small corpus, keeping
-    #     the pathfinder as high rep 0 — its cost is never wasted.
+    #   invalid ONLY via the mid-run bandwidth median, with clean steal and
+    #     clean bracketing probes → AMBIGUOUS: that exact signature was
+    #     observed on a quiet host (2026-08-20: pathfinder bw_during_median
+    #     1.56 GB/s vs brackets 4.43/4.78, steal 2.6/s, then FIVE straight
+    #     valid reps at bw_during 4.5-4.7) — the first subprocess after the
+    #     32-core main phase runs while the kernel digests the main phase's
+    #     own page-cache exhaust (corpus caches, template warehouse), which
+    #     is self-noise, not host weather. One bounded retry (after a fresh
+    #     point probe confirms quiet) separates the two: a real storm's
+    #     bandwidth contention persists into the retry, self-noise doesn't.
+    #     The condition keys on host counters only — never throughput.
+    #   invalid any other way / aborted / crashed → storm mode on the small
+    #     corpus, keeping the pathfinder(s) as high reps — cost never wasted.
+    # A bounded writeback settle runs first (same self-noise mechanism,
+    # addressed at the source): wait ≤60 s for Dirty+Writeback to drain
+    # below 256 MB so the pathfinder doesn't measure our own exhaust.
+    def writeback_mb() -> float:
+        try:
+            mb = 0.0
+            with open("/proc/meminfo") as f:
+                for ln in f:
+                    if ln.startswith(("Dirty:", "Writeback:")):
+                        mb += int(ln.split()[1]) / 1024.0
+            return mb
+        except (OSError, ValueError, IndexError):
+            return 0.0
+
+    def bw_during_only_invalid(s: dict) -> bool:
+        """True iff the sample failed validity SOLELY on the mid-run
+        bandwidth median — steal and both bracketing probes clean."""
+        return (
+            s.get("steal_rate_during", 99.0) <= valid_steal
+            and s.get("bw_before", 0.0) >= bw_thresh
+            and s.get("bw_after", 0.0) >= bw_thresh
+        )
+
     set_corpus(SCALE_HOSTS_STORM)
     if OUT["scaling_weather_at_start"]["stormy"]:
         storm["on"] = True
     else:
+        waited = 0.0
+        mb = writeback_mb()
+        while mb > 256.0 and waited < 60.0:
+            time.sleep(5)
+            waited += 5.0
+            mb = writeback_mb()
+        OUT["scale_settle"] = {"dirty_mb": round(mb, 1), "waited_sec": waited}
         pf = one_run(SCALE_HIGH, 0, allow_parse=False, pathfinder=True)
+        if pf == "invalid" and bw_during_only_invalid(samples[-1]):
+            rate1, bw1 = env_probe()
+            if rate1 <= quiet_thresh and bw1 >= bw_thresh:
+                OUT["pathfinder_retry"] = {
+                    "reason": "bw_during_only_invalid",
+                    "reprobe": [round(rate1, 2), round(bw1, 2)],
+                }
+                pf = one_run(SCALE_HIGH, 1, allow_parse=False, pathfinder=True)
         if pf == "valid":
             OUT["pathfinder"] = samples[-1]
-            runs[SCALE_HIGH].pop()
+            # drop ALL storm-corpus pathfinder runs (1 or 2): corpora must
+            # never mix into the full-corpus medians
+            runs[SCALE_HIGH].clear()
             set_corpus(SCALE_HOSTS)
         else:
             storm["on"] = True
