@@ -270,6 +270,39 @@ def compact_headline(out: dict) -> dict:
     return head
 
 
+def writeback_mb() -> float:
+    """Dirty+Writeback from /proc/meminfo in MB (0.0 if unreadable) — the
+    self-noise counter the pathfinder settle waits on: right after the
+    32-core main phase the kernel is still flushing our own page-cache
+    exhaust, which the mid-run bandwidth poller would read as weather."""
+    try:
+        mb = 0.0
+        with open("/proc/meminfo") as f:
+            for ln in f:
+                if ln.startswith(("Dirty:", "Writeback:")):
+                    mb += int(ln.split()[1]) / 1024.0
+        return mb
+    except (OSError, ValueError, IndexError):
+        return 0.0
+
+
+def bw_during_only_invalid(s: dict, valid_steal: float, bw_thresh: float) -> bool:
+    """True iff a sample failed validity SOLELY on the mid-run bandwidth
+    median — steal and both bracketing probes clean. This is the signature
+    of post-main-phase writeback self-noise (observed 2026-08-20: pathfinder
+    bw_during_median 1.56 GB/s against brackets 4.43/4.78 and steal 2.6/s,
+    followed by five straight valid reps). Any invalid pathfinder now earns
+    one reprobe-gated retry; this predicate only labels the retry's reason
+    (bw-only self-noise vs generic transient). Missing fields read as
+    failing (steal 99/s, bw 0.0): an aborted or crashed sample never
+    matches."""
+    return (
+        s.get("steal_rate_during", 99.0) <= valid_steal
+        and s.get("bw_before", 0.0) >= bw_thresh
+        and s.get("bw_after", 0.0) >= bw_thresh
+    )
+
+
 def remaining() -> float:
     return TOTAL_WALL - (time.monotonic() - T0)
 
@@ -709,11 +742,10 @@ def run_scaling_phase() -> None:
                 f"weather) AND, with ≥2 mid-run bw readings (polled every "
                 f"~20 s), their median ≥ {bw_thresh} GB/s (median not min: "
                 f"one reading can be the rep's own writeback dip); corpus "
-                f"picked by a storm-corpus pathfinder rep (one retry after a "
-                f"quiet re-probe iff it failed ONLY the mid-run-bw criterion "
-                f"with clean steal+brackets — post-main-phase writeback "
-                f"self-noise, not weather; a ≤60 s Dirty+Writeback settle "
-                f"precedes it), "
+                f"picked by a storm-corpus pathfinder rep (one retry iff it "
+                f"completed invalid AND a fresh point probe reads quiet AND "
+                f"budget fits — transient-vs-sustained separation, reason "
+                f"recorded; a ≤60 s Dirty+Writeback settle precedes it), "
                 f"base schedule L,H,H,H,L with no inline retries, "
                 f"then a retry pass: high until {reps_high} valid or budget "
                 f"out, low only if no valid low sample; retries unused: "
@@ -999,42 +1031,29 @@ def run_scaling_phase() -> None:
     #   valid → quiet confirmed: the ratio runs on the full corpus; the
     #     pathfinder sample is set aside (different corpus — it must never
     #     mix into the ratio's medians, though it stays in the samples log).
-    #   invalid ONLY via the mid-run bandwidth median, with clean steal and
-    #     clean bracketing probes → AMBIGUOUS: that exact signature was
-    #     observed on a quiet host (2026-08-20: pathfinder bw_during_median
-    #     1.56 GB/s vs brackets 4.43/4.78, steal 2.6/s, then FIVE straight
-    #     valid reps at bw_during 4.5-4.7) — the first subprocess after the
-    #     32-core main phase runs while the kernel digests the main phase's
-    #     own page-cache exhaust (corpus caches, template warehouse), which
-    #     is self-noise, not host weather. One bounded retry (after a fresh
-    #     point probe confirms quiet) separates the two: a real storm's
-    #     bandwidth contention persists into the retry, self-noise doesn't.
-    #     The condition keys on host counters only — never throughput.
-    #   invalid any other way / aborted / crashed → storm mode on the small
-    #     corpus, keeping the pathfinder(s) as high reps — cost never wasted.
+    #   invalid (completed, environment criteria failed) → AMBIGUOUS: a
+    #     single invalidated rep cannot distinguish a sustained storm from a
+    #     transient confined to the pathfinder's own window. Two observed
+    #     false-positive classes (both 2026-08-20, both followed by
+    #     majority-valid windows on the fallback corpus): (a) mid-run
+    #     bandwidth-only failure with clean steal + brackets — the kernel
+    #     digesting the 32-core main phase's own page-cache exhaust
+    #     (bw_during 1.56 GB/s vs brackets 4.43/4.78, steal 2.6/s, then
+    #     FIVE straight valid reps), and (b) a steal burst confined to the
+    #     pathfinder (5.11 jiffies/s during, then 5 of 6 following reps
+    #     valid). ONE bounded retry — gated on a fresh point probe reading
+    #     quiet AND the budget fitting another high rep — separates
+    #     transient from sustained: a real storm fails the reprobe or
+    #     invalidates the retry too. Conditions key on host counters only —
+    #     never throughput. The reason (bw-only self-noise vs generic
+    #     transient) is recorded in pathfinder_retry.reason.
+    #   aborted / crashed, or the retry also invalid → storm mode on the
+    #     small corpus, keeping the pathfinder(s) as high reps — cost never
+    #     wasted.
     # A bounded writeback settle runs first (same self-noise mechanism,
     # addressed at the source): wait ≤60 s for Dirty+Writeback to drain
     # below 256 MB so the pathfinder doesn't measure our own exhaust.
-    def writeback_mb() -> float:
-        try:
-            mb = 0.0
-            with open("/proc/meminfo") as f:
-                for ln in f:
-                    if ln.startswith(("Dirty:", "Writeback:")):
-                        mb += int(ln.split()[1]) / 1024.0
-            return mb
-        except (OSError, ValueError, IndexError):
-            return 0.0
-
-    def bw_during_only_invalid(s: dict) -> bool:
-        """True iff the sample failed validity SOLELY on the mid-run
-        bandwidth median — steal and both bracketing probes clean."""
-        return (
-            s.get("steal_rate_during", 99.0) <= valid_steal
-            and s.get("bw_before", 0.0) >= bw_thresh
-            and s.get("bw_after", 0.0) >= bw_thresh
-        )
-
+    # (writeback_mb / bw_during_only_invalid are module-level, unit-tested.)
     set_corpus(SCALE_HOSTS_STORM)
     if OUT["scaling_weather_at_start"]["stormy"]:
         storm["on"] = True
@@ -1047,11 +1066,16 @@ def run_scaling_phase() -> None:
             mb = writeback_mb()
         OUT["scale_settle"] = {"dirty_mb": round(mb, 1), "waited_sec": waited}
         pf = one_run(SCALE_HIGH, 0, allow_parse=False, pathfinder=True)
-        if pf == "invalid" and bw_during_only_invalid(samples[-1]):
+        if pf == "invalid" and fits(SCALE_HIGH):
+            reason = (
+                "bw_during_only_invalid"
+                if bw_during_only_invalid(samples[-1], valid_steal, bw_thresh)
+                else "transient_invalid"
+            )
             rate1, bw1 = env_probe()
             if rate1 <= quiet_thresh and bw1 >= bw_thresh:
                 OUT["pathfinder_retry"] = {
-                    "reason": "bw_during_only_invalid",
+                    "reason": reason,
                     "reprobe": [round(rate1, 2), round(bw1, 2)],
                 }
                 pf = one_run(SCALE_HIGH, 1, allow_parse=False, pathfinder=True)

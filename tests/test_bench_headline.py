@@ -247,3 +247,56 @@ class TestFinalizePrintsNoMatterWhat:
         # — which never touches diagnostics-only fields — still prints
         assert not (tmp_path / "full.json").exists()
         assert head["scaling"]["efficiency"] == 0.449
+
+
+class TestPathfinderRetrySignature:
+    """bw_during_only_invalid labels the pathfinder retry's reason: it must
+    match exactly the post-main-phase writeback self-noise signature
+    (mid-run bandwidth the only failing criterion) and nothing else — any
+    other completed-invalid pathfinder retries as a generic transient."""
+
+    VS, BW = 3.0, 3.0  # valid_steal, bw_thresh — the production defaults
+
+    def _s(self, **kw) -> dict:
+        base = {
+            "steal_rate_during": 0.5,
+            "bw_before": 5.0,
+            "bw_after": 5.0,
+            "bw_during_median": 1.5,
+        }
+        base.update(kw)
+        return base
+
+    def test_self_noise_signature_matches(self):
+        assert bench.bw_during_only_invalid(self._s(), self.VS, self.BW)
+
+    def test_high_during_steal_is_a_real_storm(self):
+        assert not bench.bw_during_only_invalid(
+            self._s(steal_rate_during=5.4), self.VS, self.BW
+        )
+
+    def test_contended_bracket_is_a_real_storm(self):
+        assert not bench.bw_during_only_invalid(self._s(bw_before=0.3), self.VS, self.BW)
+        assert not bench.bw_during_only_invalid(self._s(bw_after=2.9), self.VS, self.BW)
+
+    def test_aborted_or_crashed_sample_never_matches(self):
+        # wall-cap aborts and crash-path samples carry no probe columns;
+        # missing fields must read as failing, never as clean
+        assert not bench.bw_during_only_invalid(
+            {"aborted": "wall_cap_251s", "valid": False}, self.VS, self.BW
+        )
+        assert not bench.bw_during_only_invalid({}, self.VS, self.BW)
+
+    def test_boundary_values_inclusive(self):
+        # thresholds are inclusive exactly like the validity criteria
+        assert bench.bw_during_only_invalid(
+            self._s(steal_rate_during=3.0, bw_before=3.0, bw_after=3.0),
+            self.VS, self.BW,
+        )
+
+
+class TestWritebackProbe:
+    def test_reads_meminfo(self):
+        mb = bench.writeback_mb()
+        assert isinstance(mb, float)
+        assert mb >= 0.0
