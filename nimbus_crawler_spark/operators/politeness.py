@@ -61,6 +61,7 @@ def politeness_select(
     round_capacity: int | None = None,
     key_col: str = "host",
     try_fast_path: bool = False,
+    materialize=None,
 ) -> DataFrame:
     """Token-bucket selection. Input needs columns
     (url, ``key_col``, depth, seq, next_free_ms, crawl_delay_ms); output adds
@@ -77,6 +78,11 @@ def politeness_select(
     a different set than the rank path; if any host binds, we fall through
     to the rank. Callers with small round quanta (budgets bind nearly every
     round) should leave it off — the check would just add a job.
+
+    ``materialize``: optional callable applied to the RANK path's result
+    (which shuffles — its consumers should read a barrier, not re-shuffle).
+    The fast path returns a plain filter untouched: when the input is
+    already cached, selection adds no extra barrier.
     """
     budget, t0 = budget_cols(round_idx, round_ms)
     df = candidates.withColumn("_budget", budget).withColumn("t0_ms", t0)
@@ -120,7 +126,7 @@ def politeness_select(
         # Global cap (O3). A full sort-limit is acceptable because politeness
         # already bounded rows to Σ budgets; at cluster scale this is a TakeOrdered.
         df = df.orderBy("depth", "seq").limit(round_capacity)
-    return df
+    return materialize(df) if materialize is not None else df
 
 
 def advance_clock(selected: DataFrame, key_col: str = "host") -> DataFrame:

@@ -179,11 +179,27 @@ def seed_full_frontier(spark: SparkSession, store: SnapshotStore, pages_path: st
         cfg.bloom_nbits_per_bucket,
         cfg.bloom_num_hashes,
     )
+    # domains seeded the same way (robots pre-fetched): a steady-state
+    # production round consumes a domains table populated by prior rounds —
+    # bootstrapping ALL 10^4 robots rows inside the one measured round would
+    # time first-contact discovery, not the recurring fetch-round cost. Built
+    # by the round's own discover_domains kernel, so rows are byte-identical
+    # to what round 0 would have upserted (modulo first_seen_round = -1, the
+    # seed marker; nothing in selection reads it).
+    from .round import _pkey, discover_domains
+
+    seeded_domains = discover_domains(
+        urls.select(_pkey(cfg).alias("pkey")),
+        spark.createDataFrame([], DOMAINS_SCHEMA),
+        pages,
+        cfg,
+        r=-1,
+    )
     store.commit(
         -1,
         snapshots={
             "url_state": state,
-            "domains": spark.createDataFrame([], DOMAINS_SCHEMA),
+            "domains": seeded_domains,
             "seen_filter": seen,
         },
         meta={"fetched_total": 0, "frontier_pending_after": n, "bench": "mega-round"},
@@ -204,7 +220,9 @@ def ensure_scale_template(spark: SparkSession, pages_path: str) -> str:
     import tempfile as _tempfile
 
     cfg = CrawlConfig(round_ms=3_600_000, max_depth=3, shuffle_partitions=32)
-    tkey = hashlib.sha256(f"{pages_path}|{cfg.config_hash()}".encode()).hexdigest()[:12]
+    # "seed2" = domains-seeded template generation (stale empty-domains
+    # templates from older runs must not be reused)
+    tkey = hashlib.sha256(f"{pages_path}|{cfg.config_hash()}|seed2".encode()).hexdigest()[:12]
     template = os.path.join(base or _tempfile.gettempdir(), f"nimbus-scale-seed-{tkey}")
     if not os.path.exists(os.path.join(template, "_commits")):
         tmp_t = f"{template}.tmp{os.getpid()}"

@@ -81,6 +81,41 @@ def _pkey(cfg: CrawlConfig):
     return F.col("host")
 
 
+def discover_domains(
+    pkeys: DataFrame, domains: DataFrame, pages: DataFrame, cfg: CrawlConfig, r: int
+) -> DataFrame:
+    """Robots rows for politeness keys not yet in ``domains`` (J5 + S14).
+
+    Robots bodies come from the closed world: the reference fetches
+    https://<domain>/robots.txt (robots.go:122); missing page ⇒ empty body
+    ⇒ allow-all at default delay (robots.go:137-141). ``pkeys`` needs one
+    column ``pkey``; shared by the per-round upsert below and the bench
+    seeder (plans/bench.py) so a pre-seeded warehouse holds byte-identical
+    domain rows to the ones round 0 would have built.
+    """
+    robots_pages = pages.where(F.col("url").endswith("/robots.txt")).select(
+        F.col("url").alias("_robots_url"), F.col("html").cast("string").alias("robots_body")
+    )
+    return (
+        pkeys.distinct()
+        .join(domains.select(F.col("host").alias("pkey")), "pkey", "left_anti")
+        .withColumn("_robots_url", F.concat(F.lit("https://"), F.col("pkey"), F.lit("/robots.txt")))
+        .join(robots_pages, "_robots_url", "left")
+        .select(
+            F.col("pkey").alias("host"),
+            F.col("robots_body"),
+            (
+                crawl_delay_udf(F.col("robots_body"))
+                if cfg.respect_robots_txt
+                # robots disabled ⇒ default pacing (crawler.go:152-169)
+                else F.lit(cfg.default_crawl_delay_ms).cast("int")
+            ).alias("crawl_delay_ms"),
+            F.lit(0).cast("long").alias("next_free_ms"),
+            F.lit(r).cast("long").alias("first_seen_round"),
+        )
+    )
+
+
 def run_round(
     spark: SparkSession,
     store: SnapshotStore,
@@ -186,34 +221,31 @@ def run_round(
     ).withColumn("pkey", _pkey(cfg))
 
     # --- domains upsert for newly-seen politeness keys (J5 + S14) -----------
-    # Robots bodies come from the closed world: the reference fetches
-    # https://<domain>/robots.txt (robots.go:122); missing page ⇒ empty body
-    # ⇒ allow-all at default delay (robots.go:137-141).
-    robots_pages = pages.where(F.col("url").endswith("/robots.txt")).select(
-        F.col("url").alias("_robots_url"), F.col("html").cast("string").alias("robots_body")
+    # Empty-probe first: a steady-state round (and every pre-seeded bench
+    # round) discovers no new keys, so the robots corpus scan, the union, and
+    # a full re-checkpoint of the domains table are all skipped — the round
+    # pays one distinct+anti-join probe and reads domains straight from the
+    # store's parquet. Discovery rounds fall through to the upsert.
+    new_pkeys = eligible.select("pkey").join(
+        domains.select(F.col("host").alias("pkey")), "pkey", "left_anti"
     )
-    new_domains = (
-        eligible.select("pkey").distinct()
-        .join(domains.select(F.col("host").alias("pkey")), "pkey", "left_anti")
-        .withColumn("_robots_url", F.concat(F.lit("https://"), F.col("pkey"), F.lit("/robots.txt")))
-        .join(robots_pages, "_robots_url", "left")
-        .select(
-            F.col("pkey").alias("host"),
-            F.col("robots_body"),
-            (
-                crawl_delay_udf(F.col("robots_body"))
-                if cfg.respect_robots_txt
-                # robots disabled ⇒ default pacing (crawler.go:152-169)
-                else F.lit(cfg.default_crawl_delay_ms).cast("int")
-            ).alias("crawl_delay_ms"),
-            F.lit(0).cast("long").alias("next_free_ms"),
-            F.lit(r).cast("long").alias("first_seen_round"),
+    if new_pkeys.isEmpty():
+        domains_all = domains
+    else:
+        domains_all = _mat(
+            domains.unionByName(
+                discover_domains(eligible.select("pkey"), domains, pages, cfg, r)
+            )
         )
-    )
-    domains_all = _mat(domains.unionByName(new_domains))
     _tick("domains")
 
-    # --- robots gate (F5) ---------------------------------------------------
+    # --- robots gate (F5), evaluated EXACTLY ONCE per round ------------------
+    # The verdict column is checkpointed on a slim projection (bodies
+    # dropped): robots_body is ~KB per row, so letting downstream jobs
+    # (politeness fast-path check, fetch broadcast build, the delta write's
+    # denied branch) re-derive the gate would rebuild the body-bearing
+    # broadcast and re-ship every body through Arrow 3× per round. After
+    # this barrier the bodies exist only inside domains_all.
     base = eligible.join(
         F.broadcast(
             domains_all.select(
@@ -225,46 +257,37 @@ def run_round(
         ),
         "pkey",
     )
-    if cfg.respect_robots_txt:
-        allowed = base.where(robots_allowed_udf("robots_body", "url"))
-    else:
-        allowed = base
+    gated = _mat(
+        base.withColumn(
+            "_allowed",
+            robots_allowed_udf("robots_body", "url")
+            if cfg.respect_robots_txt
+            else F.lit(True),
+        ).drop("robots_body")
+    )
 
     # --- politeness token bucket (O1/O2) ------------------------------------
     selected = politeness_select(
-        allowed,
+        gated.where(F.col("_allowed")),
         round_idx=r,
         round_ms=cfg.round_ms,
         salt_buckets=cfg.host_salt_buckets,
         round_capacity=cfg.round_capacity,
         key_col="pkey",
         try_fast_path=cfg.round_ms >= cfg.politeness_fastpath_min_round_ms,
+        # fast path = a filter over the gated cache (no extra barrier); the
+        # rank path shuffles, so its output is checkpointed before the four
+        # consumers below (fetch broadcast, clock, failed anti-join, delta)
+        materialize=_mat,
     )
-    # Drop the politeness inputs nothing downstream reads BEFORE the
-    # materialization barrier: robots_body is ~KB per row, so keeping it
-    # would (a) multiply the localCheckpoint size ~10× and (b) ship the
-    # bodies inside the fetch join's broadcast hash relation — ~300 MB
-    # instead of ~35 MB at a 175k-row mega round. The clock advance needs
-    # only (pkey, t0_ms, crawl_delay_ms); the domain clock copy
-    # (next_free_ms) lives on in domains_all.
-    selected = _mat(selected.drop("robots_body", "next_free_ms", "host_rank"))
+    selected = selected.drop("_allowed", "next_free_ms", "host_rank")
     _tick("select")
 
-    # Robots-denied rows, evaluated on the REMAINDER only: every selected row
-    # already passed the gate, so the denied set lives entirely in
-    # base − selected — the pandas UDF (whose Arrow transfer ships a robots
-    # BODY per row) re-runs over that small remainder instead of the full
-    # eligible set inside the delta-write job. Politeness-deferred rows in
-    # the remainder pass robots and drop out of the filter — exactly the
-    # previous semantics (they stay in the frontier, no upsert).
-    sel_urls = selected.select("url")
-    if frontier_pending <= cfg.fetch_broadcast_max_rows:
-        sel_urls = F.broadcast(sel_urls)  # base carries robots BODIES — don't shuffle it
-    rest = base.join(sel_urls, "url", "left_anti")
-    if cfg.respect_robots_txt:
-        denied = rest.where(~robots_allowed_udf("robots_body", "url"))
-    else:
-        denied = rest.where(F.lit(False))
+    # Robots-denied rows: the verdict is already a cached column, so the
+    # delta-write job reads it back instead of re-running the pandas UDF.
+    # Politeness-deferred rows stay in the frontier (no upsert), exactly as
+    # before — they are _allowed and simply not selected.
+    denied = gated.where(~F.col("_allowed"))
 
     clock = advance_clock(selected, key_col="pkey")
 
@@ -311,12 +334,6 @@ def run_round(
     # partition window — scale-safe for politeness-unbounded mega rounds).
     from ..operators.ranking import global_row_number
 
-    prior_hashes = (
-        state.where(F.col("status") == "parsed")
-        .select("content_hash")
-        .distinct()
-        .withColumn("_prior_dup", F.lit(True))
-    )
     slim = ok_rows.select("url", "depth", "seq", "content_hash")
     # first-wins content dedup WITHOUT a per-hash window: a boilerplate
     # template fetched from 10^6+ mirror URLs in one round would funnel its
@@ -327,16 +344,30 @@ def run_round(
     first_fetch = slim.groupBy("content_hash").agg(
         F.min(F.struct("depth", "seq")).alias("_first")
     )
-    flags = _mat(
-        global_row_number(
-            slim, ["depth", "seq"], "crawl_seq",
-            num_partitions=cfg.shuffle_partitions, start=fetched_total,
+    ranked = global_row_number(
+        slim, ["depth", "seq"], "crawl_seq",
+        num_partitions=cfg.shuffle_partitions, start=fetched_total,
+    ).join(first_fetch, "content_hash")
+    # Cross-round half of D3: hashes already parsed in PRIOR rounds. A parsed
+    # row implies a past round with n_fetched ≥ 1, so fetched_total == 0 (the
+    # caller's running total, restored from the commit marker on resume)
+    # proves the state holds no parsed rows — the scan + distinct subtree is
+    # skipped entirely on round 0 and on every full-frontier bench round.
+    if fetched_total > 0:
+        prior_hashes = (
+            state.where(F.col("status") == "parsed")
+            .select("content_hash")
+            .distinct()
+            .withColumn("_prior_dup", F.lit(True))
         )
-        .join(first_fetch, "content_hash")
-        .join(prior_hashes, "content_hash", "left")
-        .withColumn(
+        ranked = ranked.join(prior_hashes, "content_hash", "left")
+        prior_dup = F.col("_prior_dup").isNotNull()
+    else:
+        prior_dup = F.lit(False)
+    flags = _mat(
+        ranked.withColumn(
             "dup_content",
-            (F.struct("depth", "seq") > F.col("_first")) | F.col("_prior_dup").isNotNull(),
+            (F.struct("depth", "seq") > F.col("_first")) | prior_dup,
         )
         .select("url", "crawl_seq", "dup_content")
     )
@@ -593,7 +624,7 @@ def run_round(
     # until the checkpointed RDDs are GC'd on the driver — the ContextCleaner
     # then drops them asynchronously, which bounds storage across a long
     # crawl without an explicit release hook.
-    for _df in (domains_all, selected, ok_rows, flags, children, trimmed):
+    for _df in (domains_all, gated, selected, ok_rows, flags, children, trimmed):
         if _df is not None:
             _df.unpersist()
 

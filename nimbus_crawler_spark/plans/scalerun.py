@@ -91,6 +91,21 @@ def main() -> None:
     from .bench import ensure_scale_template
 
     template = ensure_scale_template(spark, pages_path)
+    # pre-touch the corpus + template bytes (plain sequential read → OS page
+    # cache): the FIRST rep of a level otherwise pays cold-IO inside its
+    # timed round — the r5 eleventh-run record showed a 948→1407 URLs/s
+    # warm-up gradient across environment-valid reps on identical input,
+    # i.e. cache state, not engine behavior. A production executor reads
+    # from a distributed FS whose cache state is the same at N and 4N.
+    for root in (pages_path, template):
+        for dirpath, _dirs, files in os.walk(root):
+            for name in files:
+                try:
+                    with open(os.path.join(dirpath, name), "rb") as fh:
+                        while fh.read(1 << 22):
+                            pass
+                except OSError:
+                    pass
     # warm the JVM (codegen, shuffle machinery) and the Python UDF workers
     # before timing: the round must measure steady-state throughput, not
     # JIT compilation and worker-process startup (which a long-lived
