@@ -139,6 +139,36 @@ def main() -> int:
         )
     )
 
+    # 7. robots gate-once barrier (round-5 restructure, plans/round.py): the
+    # verdict is ONE boolean column from ONE ArrowEvalPython pass over the
+    # eligible⋈broadcast(domains) join, and robots_body is projected away
+    # before the checkpoint — downstream consumers (politeness check, fetch
+    # broadcast, denied branch) read the slim cache, so the ~KB-per-row
+    # bodies cross the Arrow boundary exactly once per round
+    from nimbus_crawler_spark.functions.udfs import robots_allowed_udf
+
+    # in the real round, domains is read back from the store's parquet (or a
+    # checkpoint) — materialize here so the build side's crawl_delay UDF does
+    # not appear as a second Arrow node in the captured plan
+    gated = (
+        eligible.withColumn("pkey", F.col("host"))
+        .join(F.broadcast(domains.localCheckpoint(eager=True)), "pkey")
+        .withColumn("_allowed", robots_allowed_udf("robots_body", "url"))
+        .drop("robots_body")
+    )
+    gated_text = explain_str(gated)
+    # formatted explain names each node twice (tree + detail) — count tree rows
+    one_arrow = gated_text.count("- ArrowEvalPython (") == 1
+    sections.append(
+        (
+            "robots gate-once: one ArrowEvalPython, bodies dropped pre-barrier",
+            gated_text,
+            ["ArrowEvalPython", "BroadcastHashJoin"],
+        )
+    )
+    print(f"[{'OK' if one_arrow else 'MISSING'}] gate-once: exactly one "
+          "ArrowEvalPython node")
+
     ok = True
     lines = ["# Physical plans (captured by tools/explain_plans.py)\n"]
     for title, text, must_contain in sections:
