@@ -86,12 +86,133 @@ class _TreeBuilder(HTMLParser):
             self.stack[-1].children.append(data)
 
 
+# --- fast tokenizer -------------------------------------------------------
+# The stdlib HTMLParser tokenizes char-by-char with ~6 regex matches per tag
+# (profiled: 84% of parse_page wall). This scanner drives the SAME
+# _TreeBuilder callbacks with one strict-grammar match per tag, and REFUSES
+# (returns False, no events kept) the moment the input steps outside the
+# grammar below — the caller then re-parses with the stdlib, so any page the
+# fast path accepts produces a byte-identical tree BY CONSTRUCTION of the
+# strict domain, and any page it cannot prove falls back to the always-
+# correct path. Differential tests (tests/test_extract.py) pin fast≡stdlib
+# over the bench corpora, the ported reference vectors, and adversarial
+# inputs. Env NIMBUS_FAST_HTML=0 disables the fast path entirely.
+#
+# Strict domain (each rule STRICTER than the stdlib's tolerant grammar, so
+# a fast-path match can never read differently than the stdlib would):
+#   * no "<!" or "<?" anywhere (comments / doctype / PI → stdlib)
+#   * every '<' begins a start tag  <name attr="v" attr2 bare=x /?>  with
+#     attrs separated by whitespace, single '=', values quoted or bare
+#     (bare may contain '/' exactly as the stdlib's), or an end tag
+#     </name> — anything else (stray '<', incomplete tag at EOF, '/' between
+#     attrs, value directly followed by an attr) → stdlib
+#   * <script>/<style> content is literal up to the stdlib's own close
+#     pattern `</\s*tag\s*>` (CDATA_CONTENT_ELEMENTS semantics; charrefs
+#     NOT converted inside, exactly like convert_charrefs with cdata_elem)
+# Charrefs in data and attribute values go through the same html.unescape
+# the stdlib applies (skipped when no '&' is present — identity).
+
+import os as _os
+import re as _re
+from html import unescape as _unescape
+
+_FAST_HTML = _os.environ.get("NIMBUS_FAST_HTML", "1") != "0"
+
+# tag-name charset = stdlib tagfind_tolerant's; end-tag = stdlib endtagfind
+# bare values must not BEGIN with '=' (the stdlib's '=+' folds 'a==b' into
+# value 'b'; a leading '=' here would instead read value '=b' — excluding it
+# forces the covered-span check below to fall back on that whole class)
+_FAST_START_RE = _re.compile(
+    r"<([a-zA-Z][^\t\n\r\f />\x00]*)"
+    r"((?:\s+[^\s/=>]+(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|(?!['\"=])[^>\s]*))?)*)"
+    r"\s*(/?)>"
+)
+_FAST_END_RE = _re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_FAST_ATTR_RE = _re.compile(
+    r"\s+([^\s/=>]+)(?:\s*=\s*(\"[^\"]*\"|'[^']*'|(?!['\"=])[^>\s]*))?"
+)
+_CDATA_CLOSE_RE = {
+    "script": _re.compile(r"</\s*script\s*>", _re.I),
+    "style": _re.compile(r"</\s*style\s*>", _re.I),
+}
+
+
+def _fast_feed(out: _TreeBuilder, html: str) -> bool:
+    """Tokenize ``html`` into ``out``; False = input left the strict domain
+    (caller must discard ``out`` and use the stdlib parser)."""
+    if "<!" in html or "<?" in html:
+        return False
+    pos, n = 0, len(html)
+    find = html.find
+    while pos < n:
+        lt = find("<", pos)
+        if lt == -1:
+            chunk = html[pos:]
+            out.handle_data(_unescape(chunk) if "&" in chunk else chunk)
+            break
+        if lt > pos:
+            chunk = html[pos:lt]
+            out.handle_data(_unescape(chunk) if "&" in chunk else chunk)
+        if html.startswith("</", lt):
+            m = _FAST_END_RE.match(html, lt)
+            if m is None:
+                return False
+            out.handle_endtag(m.group(1).lower())
+            pos = m.end()
+            continue
+        m = _FAST_START_RE.match(html, lt)
+        if m is None:
+            return False
+        tag = m.group(1).lower()
+        attrs_s = m.group(2)
+        attrs: list[tuple[str, str | None]] = []
+        if attrs_s:
+            covered = 0
+            for am in _FAST_ATTR_RE.finditer(attrs_s):
+                if am.start() != covered:
+                    return False
+                covered = am.end()
+                v = am.group(2)
+                if v is not None:
+                    if v[:1] in "\"'":
+                        v = v[1:-1]
+                    # stdlib unescapes only non-empty values
+                    if v and "&" in v:
+                        v = _unescape(v)
+                attrs.append((am.group(1).lower(), v))
+            if covered != len(attrs_s):
+                return False
+        if m.group(3):
+            out.handle_startendtag(tag, attrs)
+            pos = m.end()
+            continue
+        out.handle_starttag(tag, attrs)
+        pos = m.end()
+        if tag in _CDATA_CLOSE_RE:
+            # literal content (no charref conversion) up to the stdlib's own
+            # close pattern; EOF inside DROPS the rest (the stdlib's cdata
+            # branch breaks without flushing, even on close()) and emits no
+            # end event — both exactly the stdlib's cdata_elem behavior
+            m2 = _CDATA_CLOSE_RE[tag].search(html, pos)
+            if m2 is None:
+                break
+            if m2.start() > pos:
+                out.handle_data(html[pos : m2.start()])
+            out.handle_endtag(tag)
+            pos = m2.end()
+    return True
+
+
 def parse_html(html: str | bytes) -> _Node:
     """Build a document tree. bytes are decoded as UTF-8 (the corpus invariant;
     the reference serves []byte to x/net/html which sniffs — our fixture HTML
     is always UTF-8, FIXTURES.md §1)."""
     if isinstance(html, (bytes, bytearray)):
         html = bytes(html).decode("utf-8", errors="replace")
+    if _FAST_HTML:
+        tb = _TreeBuilder()
+        if _fast_feed(tb, html):
+            return tb.root
     tb = _TreeBuilder()
     tb.feed(html)
     tb.close()

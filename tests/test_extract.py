@@ -127,3 +127,139 @@ class TestExtractURLs:
             '<a href="https://e.com/x?a=2&b=1#f">2</a></body></html>'
         )
         assert extract_links(html, "https://e.com") == ["https://e.com/x?a=2&b=1"]
+
+
+class TestFastTokenizerEquivalence:
+    """The fast tokenizer must be indistinguishable from the stdlib parser:
+    on every input it ACCEPTS, the built tree is identical; everything else
+    falls back. These tests compare trees directly (not just extracted
+    text), so an accepted-but-divergent tokenization cannot hide behind
+    text-extraction coincidences."""
+
+    @staticmethod
+    def _stdlib_root(html: str):
+        from nimbus_crawler_spark.functions.extract import _TreeBuilder
+
+        tb = _TreeBuilder()
+        tb.feed(html)
+        tb.close()
+        return tb.root
+
+    @staticmethod
+    def _fast(html: str):
+        from nimbus_crawler_spark.functions.extract import _TreeBuilder, _fast_feed
+
+        tb = _TreeBuilder()
+        return _fast_feed(tb, html), tb.root
+
+    @classmethod
+    def _ser(cls, node):
+        from nimbus_crawler_spark.functions.extract import _Node
+
+        if not isinstance(node, _Node):
+            return node
+        return (node.tag, tuple(node.attrs), tuple(cls._ser(c) for c in node.children))
+
+    def assert_equiv(self, html: str):
+        ok, fast_root = self._fast(html)
+        if ok:
+            assert self._ser(fast_root) == self._ser(self._stdlib_root(html)), html
+
+    ADVERSARIAL = [
+        "",
+        "plain text only & &amp; &lt;",
+        "<html><body><p>a<p>b</p></body></html>",
+        '<a href="x>y">quoted gt</a>',
+        "<a href=x/>bare slash value</a>",
+        "<a href=x />self close after bare</a>",
+        "<br/><br /><hr>",
+        "<a b></a><a b=''></a><a b=>bare empty</a>",
+        "<A HREF='Y'>case</A>",
+        "<a\nhref='y'\t>ws</a>",
+        "stray < lt",
+        "a < b > c",
+        "<",
+        "</",
+        "<a",
+        "<a href='unterminated",
+        "<!doctype html><p>x</p>",
+        "<!-- comment --><p>x</p>",
+        "<?pi?><p>x</p>",
+        "<script>var x = '<div>not a tag</div>';</script>after",
+        "<SCRIPT>UP</SCRIPT>ok",
+        "<script>no close ever",
+        "<script>a</scriptx></script>done",
+        "<style>p>q{}</style>",
+        "<script src='x'/>selfclosing script stays out of cdata<p>t</p>",
+        "<title>&amp; in title</title>",
+        "text &amp; entities &#65; &unknown; &lt",
+        "<p a=1 b=2 c>mix</p>",
+        "<p a==b>double eq</p>",
+        "<p a=b=c>eq in bare</p>",
+        "<p/ >odd slash</p>",
+        "<p / x>slash between attrs</p>",
+        "<p x='a&amp;b' y=\"&lt;\">attr entities</p>",
+        "<ul><li>1<li>2</ul>",
+        "<td>x<td>y",
+        "<a=b href=c>weird name</a=b>",
+        "</a stray='attr'>",
+        "<div \x0b>vt</div>",
+        "nested <div><div><div>deep</div></div></div>",
+    ]
+
+    def test_adversarial_vectors(self):
+        for html in self.ADVERSARIAL:
+            self.assert_equiv(html)
+
+    def test_corpus_pages_identical_and_fast_path_engages(self):
+        from nimbus_crawler_spark.sources.corpus import make_corpus
+
+        corpus = make_corpus(seed=23, n_hosts=8, pages_per_host=12, heavy_dom=30)
+        accepted = 0
+        for page in corpus.pages:
+            html = page["html"]
+            if isinstance(html, (bytes, bytearray)):
+                html = bytes(html).decode("utf-8", errors="replace")
+            ok, fast_root = self._fast(html)
+            if ok:
+                accepted += 1
+                assert self._ser(fast_root) == self._ser(self._stdlib_root(html))
+        # the fast path must actually cover the corpus shape, or the
+        # optimization silently evaporates
+        assert accepted / len(corpus.pages) > 0.95
+
+    def test_public_api_equivalence_both_flags(self, monkeypatch):
+        import nimbus_crawler_spark.functions.extract as ex
+
+        html = (
+            "<html><head><title>t</title></head><body><h1>H</h1>"
+            '<script>var x = "SECRET";</script><style>.x{color:red}</style>'
+            '<p>para &amp; more</p><a href="/x">l</a>'
+            '<a href="https://h.example/y?b=1&a=2">m</a></body></html>'
+        )
+        base = "https://h.example/p"
+        fast = (ex.extract_text(html), ex.extract_links(html, base))
+        monkeypatch.setattr(ex, "_FAST_HTML", False)
+        slow = (ex.extract_text(html), ex.extract_links(html, base))
+        assert fast == slow
+
+    def test_hypothesis_fuzz(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        frag = st.sampled_from(
+            [
+                "<p>", "</p>", "<a href='x'>", '<a href="y&amp;z">', "</a>",
+                "<br/>", "<script>", "</script>", "<style>", "</style>",
+                "text", "&amp;", "&#65;", "&broken", "<", ">", "/", "'",
+                '"', "=", "<!--", "-->", "<!doctype html>", " ", "\n",
+                "<div a=b>", "<div a>", "</div>", "<DIV>", "<td>", "x<y",
+            ]
+        )
+
+        @settings(max_examples=400, deadline=None)
+        @given(st.lists(frag, min_size=0, max_size=20))
+        def check(parts):
+            self.assert_equiv("".join(parts))
+
+        check()
