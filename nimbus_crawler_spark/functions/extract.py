@@ -137,11 +137,18 @@ _CDATA_CLOSE_RE = {
 }
 
 
-def _fast_feed(out: _TreeBuilder, html: str) -> bool:
-    """Tokenize ``html`` into ``out``; False = input left the strict domain
-    (caller must discard ``out`` and use the stdlib parser)."""
+def _fast_feed(out, html: str) -> bool:
+    """Tokenize ``html`` into ``out`` (any object with the HTMLParser
+    handle_* callbacks); False = input left the strict domain (caller must
+    discard ``out`` and use the stdlib parser).
+
+    ``out.attr_tags`` (optional frozenset) limits attribute PARSING to those
+    tags — safe only for consumers that ignore other tags' attributes
+    entirely (the streaming extractor reads attrs of ``a`` alone); the
+    attrs substring was already shape-validated by the start-tag regex."""
     if "<!" in html or "<?" in html:
         return False
+    want = getattr(out, "attr_tags", None)
     pos, n = 0, len(html)
     find = html.find
     while pos < n:
@@ -166,7 +173,7 @@ def _fast_feed(out: _TreeBuilder, html: str) -> bool:
         tag = m.group(1).lower()
         attrs_s = m.group(2)
         attrs: list[tuple[str, str | None]] = []
-        if attrs_s:
+        if attrs_s and (want is None or tag in want):
             covered = 0
             for am in _FAST_ATTR_RE.finditer(attrs_s):
                 if am.start() != covered:
@@ -281,11 +288,104 @@ def extract_text(html: str | bytes) -> str:
     return "".join(out)
 
 
+class _StreamExtractor:
+    """Single-pass consumer of ``_fast_feed`` computing parse_page's output
+    without materializing a tree: hrefs of every ``a`` in document order
+    (the pre-removal tree — reference extracts links before ExtractText
+    mutates, parser.go:140-144) and per-``body`` descendant text with
+    script/style/noscript/iframe subtrees excluded. Tree-semantics mirror,
+    pinned equal to the tree path by tests/test_extract.py:
+
+    * self-nesting closers and void elements follow _TreeBuilder exactly;
+    * an end tag closes up to the nearest matching open frame (frames
+      closed in between release their body buffers / removal depth);
+    * nested bodies each collect their own subtree's text (data lands in
+      every active buffer), duplicated exactly as _find_all's recursion
+      into matched nodes duplicates it;
+    * a body inside a removed subtree never opens a buffer (the tree path
+      prunes it before body collection);
+    * no ``body`` at EOF → the caller must fall back to the tree path's
+      virtual-body construction (``bodies`` stays empty).
+    """
+
+    __slots__ = ("stack", "bodies", "active", "removed_depth", "hrefs")
+    attr_tags = frozenset({"a"})
+
+    def __init__(self) -> None:
+        self.stack: list[tuple[str, int, bool]] = []  # (tag, body_idx|-1, removed)
+        self.bodies: list[list[str]] = []
+        self.active: list[int] = []
+        self.removed_depth = 0
+        self.hrefs: list[str] = []
+
+    def _note_anchor(self, attrs) -> None:
+        for k, v in attrs:
+            if k == "href":
+                self.hrefs.append(v if v is not None else "")
+                return
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _SELF_NESTING_CLOSERS and self.stack and self.stack[-1][0] == tag:
+            self._pop_frame()
+        if tag == "a":
+            self._note_anchor(attrs)
+        if tag in _VOID_ELEMENTS:
+            return
+        body_idx = -1
+        if tag == "body" and self.removed_depth == 0:
+            body_idx = len(self.bodies)
+            self.bodies.append([])
+            self.active.append(body_idx)
+        removed = tag in _REMOVED_TAGS
+        if removed:
+            self.removed_depth += 1
+        self.stack.append((tag, body_idx, removed))
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        if tag == "a":
+            self._note_anchor(attrs)
+        if tag == "body" and self.removed_depth == 0:
+            self.bodies.append([])  # empty body node: contributes ""
+
+    def handle_endtag(self, tag: str) -> None:
+        for i in range(len(self.stack) - 1, -1, -1):
+            if self.stack[i][0] == tag:
+                while len(self.stack) > i:
+                    self._pop_frame()
+                return
+
+    def _pop_frame(self) -> None:
+        _tag, body_idx, removed = self.stack.pop()
+        if removed:
+            self.removed_depth -= 1
+        if body_idx >= 0:
+            self.active.pop()
+
+    def handle_data(self, data: str) -> None:
+        if data and self.active and self.removed_depth == 0:
+            for bi in self.active:
+                self.bodies[bi].append(data)
+
+
 def parse_page(html: str | bytes, base_url: str) -> tuple[str, list[str] | None]:
     """One-pass parse stage: links then text off a SINGLE tree — the
     reference's exact flow (parser.go:131-144: goquery doc parsed once,
     ExtractURLs before ExtractText mutates it). Halves the per-page cost of
-    the dominant pandas UDF vs parsing twice."""
+    the dominant pandas UDF vs parsing twice.
+
+    Hot path: the streaming extractor above (no tree at all) whenever the
+    fast tokenizer accepts the page AND at least one ``body`` exists;
+    anything else re-parses through the tree path below."""
+    if _FAST_HTML:
+        h = html
+        if isinstance(h, (bytes, bytearray)):
+            h = bytes(h).decode("utf-8", errors="replace")
+        se = _StreamExtractor()
+        if _fast_feed(se, h) and se.bodies:
+            return (
+                "".join("".join(b).strip() for b in se.bodies),
+                _process_hrefs(base_url, se.hrefs),
+            )
     root = parse_html(html)
     links = _links_from_tree(root, base_url)
     _remove_tags(root, _REMOVED_TAGS)
@@ -298,15 +398,25 @@ def parse_page(html: str | bytes, base_url: str) -> tuple[str, list[str] | None]
 
 
 def _links_from_tree(root: _Node, base_url: str) -> list[str] | None:
-    if parse_url(base_url) is None:
-        return None
     anchors: list[_Node] = []
     _find_all(root, "a", anchors)
+    hrefs = []
+    for a in anchors:
+        h = a.attr("href")
+        if h is not None:
+            hrefs.append(h)
+    return _process_hrefs(base_url, hrefs)
+
+
+def _process_hrefs(base_url: str, hrefs: list[str]) -> list[str] | None:
+    """ExtractURLs' per-href pipeline (extractor.go:36-74) over raw href
+    strings in document order — shared by the tree and streaming paths."""
+    if parse_url(base_url) is None:
+        return None
     seen: set[str] = set()
     urls: list[str] = []
-    for a in anchors:
-        href = a.attr("href")
-        if href is None or href == "":
+    for href in hrefs:
+        if href == "":
             continue
         href = href.strip()
         if (

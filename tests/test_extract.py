@@ -263,3 +263,97 @@ class TestFastTokenizerEquivalence:
             self.assert_equiv("".join(parts))
 
         check()
+
+
+class TestStreamingParsePageEquivalence:
+    """parse_page's streaming hot path must equal the stdlib tree path —
+    text AND links — on everything it accepts; off-domain input must reach
+    the tree fallback transparently."""
+
+    BASE = "https://h.example/dir/page"
+
+    @staticmethod
+    def _both(html: str):
+        import nimbus_crawler_spark.functions.extract as ex
+
+        old = ex._FAST_HTML
+        try:
+            ex._FAST_HTML = True
+            fast = ex.parse_page(html, TestStreamingParsePageEquivalence.BASE)
+            ex._FAST_HTML = False
+            slow = ex.parse_page(html, TestStreamingParsePageEquivalence.BASE)
+        finally:
+            ex._FAST_HTML = old
+        return fast, slow
+
+    def test_adversarial_vectors(self):
+        vectors = TestFastTokenizerEquivalence.ADVERSARIAL + [
+            "<body>plain</body>",
+            "<body>a<script>x</script>b</body>",
+            "<body>t1</body><body>t2</body>",
+            "<body>outer<body>inner</body>tail</body>",
+            "<iframe><body>inside removed</body></iframe><body>real</body>",
+            "<body><noscript><a href='/n'>n</a>hidden</noscript>vis</body>",
+            "<head><a href='/h'>head link</a></head><body>b</body>",
+            "<body><a href='/x'>1</a><a>no href</a><a href>bare</a>"
+            "<a href=''>empty</a><a href='  /sp  '>sp</a></body>",
+            "<body><a href='javascript:x'>j</a><a href='#f'>f</a>"
+            "<a href='mailto:m'>m</a><a href='tel:1'>t</a></body>",
+            "<body><a href='/x'>1</a><a href='/x'>dup</a>"
+            "<a href='HTTPS://H.example/x'>case</a></body>",
+            "<body><p>p1<p>p2<li>l1<li>l2</body>",
+            "<body><br><img src='i'><a href='v'/>after</body>",
+            "<body>eof never closed",
+            "<body><div>deep<div>er</div>",
+            "<body>&amp;ent</body><body><a href='/y?b=2&amp;a=1'>q</a></body>",
+            "no body at all <a href='/z'>link</a>",
+            "<BODY>upper</BODY>",
+            "<body class='c'>attrs on body</body>",
+        ]
+        for html in vectors:
+            fast, slow = self._both(html)
+            assert fast == slow, html
+
+    def test_corpus_pages_and_streaming_engages(self):
+        import nimbus_crawler_spark.functions.extract as ex
+        from nimbus_crawler_spark.sources.corpus import make_corpus
+
+        corpus = make_corpus(seed=29, n_hosts=6, pages_per_host=10, heavy_dom=25)
+        streamed = n_html = 0
+        for page in corpus.pages:
+            html = page["html"]
+            h = bytes(html).decode("utf-8", errors="replace") if isinstance(
+                html, (bytes, bytearray)
+            ) else html
+            if "<body" in h:  # robots.txt / binary rows have no body → tree path
+                n_html += 1
+                se = ex._StreamExtractor()
+                if ex._fast_feed(se, h) and se.bodies:
+                    streamed += 1
+            fast, slow = self._both(h)
+            assert fast == slow
+        assert n_html > 0 and streamed / n_html > 0.95
+
+    def test_hypothesis_fuzz(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        frag = st.sampled_from(
+            [
+                "<body>", "</body>", "<p>", "</p>", "<a href='/x'>",
+                '<a href="/y?b=1&amp;a=2">', "</a>", "<br/>", "<script>",
+                "</script>", "<noscript>", "</noscript>", "<iframe>",
+                "</iframe>", "text", "&amp;", "<", ">", "<!--", "-->",
+                "<td>", "</td>", "<li>", " ", "<a href=''>", "<a>",
+                "<BODY>", "</BODY>", "<head>", "</head>",
+            ]
+        )
+
+        @settings(max_examples=400, deadline=None)
+        @given(st.lists(frag, min_size=0, max_size=20))
+        def check(parts):
+            html = "".join(parts)
+            fast, slow = self._both(html)
+            assert fast == slow, repr(html)
+
+        check()
