@@ -44,18 +44,25 @@ _SAMPLE_PER_BUCKET = 100
 
 
 def _range_bounds(
-    df: DataFrame, cols: list[Column], num_partitions: int
+    df: DataFrame, cols: list[Column], num_partitions: int, approx_count: int | None = None
 ) -> tuple[list[tuple], list]:
     """Sample ``num_partitions - 1`` ascending range bounds for the key
-    tuple ``cols`` (two driver jobs over the column-pruned key projection).
+    tuple ``cols`` (two driver jobs over the column-pruned key projection —
+    one when ``approx_count`` spares the count job).
     Returns ``(bounds, key_datatypes)``; bounds may be shorter than p-1
     (deduplicated) or empty (small/empty input → one bucket, still correct).
+
+    ``approx_count``: optional row-count estimate (any order-of-magnitude
+    upper bound works — callers pass e.g. the frontier size). Bounds affect
+    ONLY load balance, never correctness (see module docstring), so an
+    over-estimate merely under-samples; the count job is pure overhead when
+    the caller already tracks a size.
     """
     keys = df.select(*[c.alias(f"_k{i}") for i, c in enumerate(cols)])
     dtypes = [f.dataType for f in keys.schema.fields]
     if num_partitions <= 1:
         return [], dtypes
-    n = keys.count()
+    n = approx_count if approx_count is not None else keys.count()
     if n == 0:
         return [], dtypes
     target = num_partitions * _SAMPLE_PER_BUCKET
@@ -80,6 +87,7 @@ def global_running_sum(
     value: Column,
     out_col: str,
     num_partitions: int = 32,
+    approx_count: int | None = None,
 ) -> DataFrame:
     """Add ``out_col`` = EXCLUSIVE global prefix sum of ``value`` by the
     ``order_cols`` total order (the first row gets 0; order keys must be
@@ -92,7 +100,7 @@ def global_running_sum(
     ONE full-row shuffle (the window's hash exchange on ``_gpid``); the
     offsets branch re-scans only the pruned (key, value) columns."""
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    bounds, dtypes = _range_bounds(df, cols, num_partitions)
+    bounds, dtypes = _range_bounds(df, cols, num_partitions, approx_count)
     key = F.struct(*[c.alias(f"_k{i}") for i, c in enumerate(cols)])
     if bounds:
         # literal bound structs, cast field-wise to the exact key dtypes so
@@ -142,6 +150,7 @@ def global_row_number(
     out_col: str,
     num_partitions: int = 32,
     start: int = 0,
+    approx_count: int | None = None,
 ) -> DataFrame:
     """Add ``out_col`` = 0-based global row number by ``order_cols`` + start.
 
@@ -150,7 +159,7 @@ def global_row_number(
     The exclusive prefix COUNT of rows before a row IS its 0-based ordinal,
     so this is ``global_running_sum`` of a literal 1.
     """
-    with_sum = global_running_sum(df, order_cols, F.lit(1), out_col, num_partitions)
+    with_sum = global_running_sum(df, order_cols, F.lit(1), out_col, num_partitions, approx_count)
     if start:
         with_sum = with_sum.withColumn(out_col, (F.col(out_col) + F.lit(start)).cast("long"))
     return with_sum

@@ -347,6 +347,9 @@ def run_round(
     ranked = global_row_number(
         slim, ["depth", "seq"], "crawl_seq",
         num_partitions=cfg.shuffle_partitions, start=fetched_total,
+        # frontier size is a free upper bound on fetched rows — spares the
+        # rank's blocking count job (bounds affect load balance only)
+        approx_count=frontier_pending,
     ).join(first_fetch, "content_hash")
     # Cross-round half of D3: hashes already parsed in PRIOR rounds. A parsed
     # row implies a past round with n_fetched ≥ 1, so fetched_total == 0 (the

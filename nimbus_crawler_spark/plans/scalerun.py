@@ -51,7 +51,7 @@ def main() -> None:
     # Honesty note: sched_setaffinity confines the WHOLE process, so the
     # extra core is shared capacity (executor threads and UDF workers can use
     # it too), not a segregated driver node — relatively it grants the low
-    # level more headroom (+50% at local[2] vs +12.5% at local[8]), which can
+    # level more headroom (+100% at local[1] vs +25% at local[4]), which can
     # only push the measured efficiency DOWN, i.e. it is conservative for the
     # ≥0.8 criterion. When the host cannot supply cores+1 CPUs, the extra
     # core is dropped (symmetrically: a level that can't get it runs plain)
