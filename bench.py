@@ -168,9 +168,11 @@ TOTAL_WALL = float(os.environ.get("NIMBUS_BENCH_TOTAL_WALL", "1500"))
 RESERVE = 40.0  # tail reserve: finalize + JSON print + interpreter teardown
 # Protected scaling budget: the north-rule number is the round's #1
 # deliverable, so the main phase may spend at most TOTAL_WALL - SCALE_RESERVE
-# before handing over. Sized for the quiet-case scaling schedule (1 low rep
-# ~375 s + 3 high reps ~112 s, ×1.15 fit margin, + gates/probes ≈ 880 s);
-# the quiet main phase needs ~350 s, so both fit with headroom. Under a
+# before handing over. Sized for the quiet-case 1→4 schedule (pathfinder
+# ~60 s + 1 low rep ~440 s + 3 high reps ~140 s, ×1.15 fit margin,
+# + gates/probes ≈ 880 s); the quiet main phase needs ~300 s, so both fit
+# with headroom (measured: the two validating runs closed at 1,102/1,108 s
+# total with the full schedule and a budget-skipped second low rep). Under a
 # contention storm (observed: main phase inflates 3-5×) the main phase
 # skips its tail — recorded, never silent — instead of starving scaling
 # to zero samples (the failure a round-4 storm rehearsal demonstrated).
