@@ -122,14 +122,18 @@ _FAST_HTML = _os.environ.get("NIMBUS_FAST_HTML", "1") != "0"
 # bare values must not BEGIN with '=' (the stdlib's '=+' folds 'a==b' into
 # value 'b'; a leading '=' here would instead read value '=b' — excluding it
 # forces the covered-span check below to fall back on that whole class)
+# attribute NAMES must not begin with a quote: the stdlib reads a quote
+# there as an unterminated VALUE spanning '>' (emitting the whole tag as
+# text), while this grammar would read it as a name — input like
+# '<b a= "x>t' must fall back to the stdlib rather than diverge
 _FAST_START_RE = _re.compile(
     r"<([a-zA-Z][^\t\n\r\f />\x00]*)"
-    r"((?:\s+[^\s/=>]+(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|(?!['\"=])[^>\s]*))?)*)"
+    r"((?:\s+(?!['\"])[^\s/=>]+(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|(?!['\"=])[^>\s]*))?)*)"
     r"\s*(/?)>"
 )
 _FAST_END_RE = _re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
 _FAST_ATTR_RE = _re.compile(
-    r"\s+([^\s/=>]+)(?:\s*=\s*(\"[^\"]*\"|'[^']*'|(?!['\"=])[^>\s]*))?"
+    r"\s+(?!['\"])([^\s/=>]+)(?:\s*=\s*(\"[^\"]*\"|'[^']*'|(?!['\"=])[^>\s]*))?"
 )
 _CDATA_CLOSE_RE = {
     "script": _re.compile(r"</\s*script\s*>", _re.I),
@@ -367,24 +371,160 @@ class _StreamExtractor:
                 self.bodies[bi].append(data)
 
 
+def _stream_parse(html: str) -> tuple[list[list[str]], list[str]] | None:
+    """``_fast_feed`` ⊕ ``_StreamExtractor`` fused into ONE loop — the
+    mega-round parse kernel's hot path. The class pipeline dispatches ~4
+    Python calls per tag (match → handle_* → _pop_frame); at ~130 tags/page
+    that dispatch was the single largest cost of ``parse_page`` (profiled:
+    1.5M calls / 4k pages). This function keeps all tokenizer+extractor
+    state in locals and inlines every callback body VERBATIM, so its
+    output is the class pipeline's by construction; equivalence is pinned
+    over the corpus, the adversarial vectors, and raw-character fuzz by
+    tests/test_extract.py.
+
+    Returns ``(bodies, hrefs)`` exactly as ``_StreamExtractor`` would hold
+    them, or None when the input leaves the strict fast domain (caller must
+    fall back to the stdlib tree path)."""
+    if "<!" in html or "<?" in html:
+        return None
+    stack: list[tuple[str, int, bool]] = []  # (tag, body_idx|-1, removed)
+    bodies: list[list[str]] = []
+    active: list[int] = []
+    removed_depth = 0
+    hrefs: list[str] = []
+    pos, n = 0, len(html)
+    find = html.find
+    start_match = _FAST_START_RE.match
+    end_match = _FAST_END_RE.match
+    while pos < n:
+        lt = find("<", pos)
+        if lt == -1:
+            if active and not removed_depth:
+                chunk = html[pos:]
+                if "&" in chunk:
+                    chunk = _unescape(chunk)
+                for bi in active:
+                    bodies[bi].append(chunk)
+            break
+        if lt > pos and active and not removed_depth:
+            chunk = html[pos:lt]
+            if "&" in chunk:
+                chunk = _unescape(chunk)
+            for bi in active:
+                bodies[bi].append(chunk)
+        if html[lt + 1 : lt + 2] == "/":
+            m = end_match(html, lt)
+            if m is None:
+                return None
+            tag = m.group(1).lower()
+            if stack and stack[-1][0] == tag:  # common case: top frame
+                _t, b_idx, rm = stack.pop()
+                if rm:
+                    removed_depth -= 1
+                if b_idx >= 0:
+                    active.pop()
+            else:
+                # close up to the nearest matching frame (stray → ignored)
+                for i in range(len(stack) - 1, -1, -1):
+                    if stack[i][0] == tag:
+                        while len(stack) > i:
+                            _t, b_idx, rm = stack.pop()
+                            if rm:
+                                removed_depth -= 1
+                            if b_idx >= 0:
+                                active.pop()
+                        break
+            pos = m.end()
+            continue
+        m = start_match(html, lt)
+        if m is None:
+            return None
+        tag, attrs_s, selfclose = m.group(1, 2, 3)
+        tag = tag.lower()
+        # attrs parsed (and span-validated) for <a> only, exactly like the
+        # class path's attr_tags = {"a"}; first href wins, None value → ""
+        href = None
+        have_href = False
+        if tag == "a":
+            if attrs_s:
+                covered = 0
+                for am in _FAST_ATTR_RE.finditer(attrs_s):
+                    if am.start() != covered:
+                        return None
+                    covered = am.end()
+                    if not have_href and am.group(1).lower() == "href":
+                        v = am.group(2)
+                        if v is None:
+                            v = ""
+                        else:
+                            if v[:1] in "\"'":
+                                v = v[1:-1]
+                            if v and "&" in v:
+                                v = _unescape(v)
+                        href = v
+                        have_href = True
+                if covered != len(attrs_s):
+                    return None
+        pos = m.end()
+        if selfclose:  # self-closing: no self-nesting pop, no stack frame
+            if have_href:
+                hrefs.append(href)
+            if tag == "body" and not removed_depth:
+                bodies.append([])  # empty body node: contributes ""
+            continue
+        if stack and stack[-1][0] == tag and tag in _SELF_NESTING_CLOSERS:
+            _t, b_idx, rm = stack.pop()
+            if rm:
+                removed_depth -= 1
+            if b_idx >= 0:
+                active.pop()
+        if have_href:
+            hrefs.append(href)
+        if tag in _VOID_ELEMENTS:
+            continue
+        if tag in _REMOVED_TAGS:
+            close_re = _CDATA_CLOSE_RE.get(tag)
+            if close_re is None:  # noscript / iframe: a normal removed frame
+                removed_depth += 1
+                stack.append((tag, -1, True))
+                continue
+            # script/style cdata: literal content ignored (the frame is
+            # removed), the close pops the frame we'd have just pushed —
+            # net: state unchanged. EOF inside drops the rest (stdlib cdata
+            # branch breaks without flushing).
+            m2 = close_re.search(html, pos)
+            if m2 is None:
+                break
+            pos = m2.end()
+            continue
+        body_idx = -1
+        if tag == "body" and not removed_depth:
+            body_idx = len(bodies)
+            bodies.append([])
+            active.append(body_idx)
+        stack.append((tag, body_idx, False))
+    return bodies, hrefs
+
+
 def parse_page(html: str | bytes, base_url: str) -> tuple[str, list[str] | None]:
     """One-pass parse stage: links then text off a SINGLE tree — the
     reference's exact flow (parser.go:131-144: goquery doc parsed once,
     ExtractURLs before ExtractText mutates it). Halves the per-page cost of
     the dominant pandas UDF vs parsing twice.
 
-    Hot path: the streaming extractor above (no tree at all) whenever the
-    fast tokenizer accepts the page AND at least one ``body`` exists;
-    anything else re-parses through the tree path below."""
+    Hot path: the fused streaming extractor above (no tree, no per-event
+    dispatch) whenever the fast tokenizer accepts the page AND at least one
+    ``body`` exists; anything else re-parses through the tree path below."""
     if _FAST_HTML:
         h = html
         if isinstance(h, (bytes, bytearray)):
             h = bytes(h).decode("utf-8", errors="replace")
-        se = _StreamExtractor()
-        if _fast_feed(se, h) and se.bodies:
+        sp = _stream_parse(h)
+        if sp is not None and sp[0]:
+            bodies, hrefs = sp
             return (
-                "".join("".join(b).strip() for b in se.bodies),
-                _process_hrefs(base_url, se.hrefs),
+                "".join("".join(b).strip() for b in bodies),
+                _process_hrefs(base_url, hrefs),
             )
     root = parse_html(html)
     links = _links_from_tree(root, base_url)
@@ -410,7 +550,16 @@ def _links_from_tree(root: _Node, base_url: str) -> list[str] | None:
 
 def _process_hrefs(base_url: str, hrefs: list[str]) -> list[str] | None:
     """ExtractURLs' per-href pipeline (extractor.go:36-74) over raw href
-    strings in document order — shared by the tree and streaming paths."""
+    strings in document order — shared by the tree and streaming paths.
+
+    Same decisions as the original resolve→parse→canonicalize chain, but the
+    base URL is parsed ONCE per page and each resolved URL ONCE per href
+    (``canonicalize`` = parse + ``_canonicalize_parsed``; the scheme gate
+    reads the same parse) — this chain parsed every kept URL 3× plus the
+    base per href, the second-largest cost of ``parse_page`` after
+    tokenization."""
+    from .urlnorm import _canonicalize_parsed, resolve_with_parsed_base
+
     if parse_url(base_url) is None:
         return None
     seen: set[str] = set()
@@ -419,21 +568,16 @@ def _process_hrefs(base_url: str, hrefs: list[str]) -> list[str] | None:
         if href == "":
             continue
         href = href.strip()
-        if (
-            href.startswith("javascript:")
-            or href.startswith("mailto:")
-            or href.startswith("tel:")
-            or href.startswith("#")
-        ):
+        if href.startswith(("javascript:", "mailto:", "tel:", "#")):
             continue
-        resolved = resolve_reference(base_url, href)
+        resolved = resolve_with_parsed_base(base_url, href)
         if resolved is None:
             continue
         rp = parse_url(resolved)
         if rp is None or rp.scheme not in ("http", "https"):
             continue
-        normalized = canonicalize(resolved)
-        if normalized is None or normalized in seen:
+        normalized = _canonicalize_parsed(rp)
+        if normalized in seen:
             continue
         seen.add(normalized)
         urls.append(normalized)

@@ -21,9 +21,15 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass
+from urllib.parse import unquote_plus
 from urllib.parse import urljoin as _std_urljoin
 
 _SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*$")
+# one C-level scan replacing the per-char Python loops in parse_url (its
+# callers run per URL per page in the parse kernel): control chars Go
+# rejects, and the scheme-prefix shape the Go getScheme loop accepts
+_CTRL_RE = re.compile(r"[\x00-\x1f\x7f]")
+_SCHEME_PREFIX_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
 _PCT_RE = re.compile(r"%(?![0-9A-Fa-f]{2})")
 _PCT_UPPER_RE = re.compile(r"%[0-9A-Fa-f]{2}")
 
@@ -105,9 +111,8 @@ def parse_url(raw: str) -> ParsedURL | None:
     """
     if raw is None:
         return None
-    for ch in raw:
-        if ord(ch) < 0x20 or ch == "\x7f":
-            return None
+    if _CTRL_RE.search(raw):
+        return None
 
     rest = raw
     fragment = ""
@@ -115,20 +120,16 @@ def parse_url(raw: str) -> ParsedURL | None:
         rest, fragment = rest.split("#", 1)
 
     scheme = ""
-    # Go getScheme: scan until ':'; chars before must be alphanum+.-, first alpha.
-    for i, ch in enumerate(rest):
-        if ch == ":":
-            if i == 0:
-                return None  # missing protocol scheme
-            cand = rest[:i]
-            if _SCHEME_RE.match(cand):
-                scheme = cand.lower()
-                rest = rest[i + 1 :]
-            break
-        if ch in "/?":
-            break
-        if not (ch.isalnum() or ch in "+.-"):
-            break
+    # Go getScheme semantics via ONE anchored match: the char-by-char loop
+    # set a scheme exactly when the prefix was [A-Za-z][A-Za-z0-9+.-]*':'
+    # (any '/', '?', ':'-after-invalid-candidate, or other char broke the
+    # loop without a scheme), and errored only on a leading ':'.
+    m = _SCHEME_PREFIX_RE.match(rest)
+    if m is not None:
+        scheme = rest[: m.end() - 1].lower()
+        rest = rest[m.end() :]
+    elif rest[:1] == ":":
+        return None  # missing protocol scheme
 
     query = ""
     if "?" in rest:
@@ -138,11 +139,10 @@ def parse_url(raw: str) -> ParsedURL | None:
     path = rest
     if rest.startswith("//"):
         rest = rest[2:]
-        slash = len(rest)
-        for i, ch in enumerate(rest):
-            if ch in "/?":
-                slash = i
-                break
+        # the query was split off above, so '/' is the only terminator left
+        slash = rest.find("/")
+        if slash < 0:
+            slash = len(rest)
         netloc, path = rest[:slash], rest[slash:]
         if "@" in netloc:  # userinfo not used by the crawler; keep verbatim
             hostport = netloc.rsplit("@", 1)[1]
@@ -210,8 +210,6 @@ def _sort_query(query: str) -> str:
     emit 'k=v' joined by '&' (values re-encoded minimally; see module doc)."""
     if not query:
         return query
-    from urllib.parse import unquote_plus
-
     pairs: dict[str, list[str]] = {}
     for part in query.split("&"):
         if not part:
@@ -263,6 +261,13 @@ def canonicalize(raw: str) -> str | None:
     p = parse_url(raw)
     if p is None:
         return None
+    return _canonicalize_parsed(p)
+
+
+def _canonicalize_parsed(p: ParsedURL) -> str:
+    """``canonicalize`` after the parse — callers that already hold a
+    ParsedURL (the link pipeline parses each resolved URL once for its
+    scheme gate) skip the second parse. Mutates ``p``."""
     p.scheme = p.scheme.lower()
     p.netloc = p.netloc.lower()
     # FlagRemoveDefaultPort
@@ -293,7 +298,16 @@ def resolve_reference(base: str, href: str) -> str | None:
     and urllib.parse.urljoin implement RFC 3986 §5; href and base must each
     survive the Go-like parse first (the reference drops rows otherwise).
     """
-    if parse_url(base) is None or parse_url(href) is None:
+    if parse_url(base) is None:
+        return None
+    return resolve_with_parsed_base(base, href)
+
+
+def resolve_with_parsed_base(base: str, href: str) -> str | None:
+    """``resolve_reference`` for a base the caller has already validated
+    with ``parse_url`` — the per-page link loop validates its base once
+    instead of once per href."""
+    if parse_url(href) is None:
         return None
     try:
         return _std_urljoin(base, href)

@@ -205,6 +205,14 @@ class TestFastTokenizerEquivalence:
         "</a stray='attr'>",
         "<div \x0b>vt</div>",
         "nested <div><div><div>deep</div></div></div>",
+        # quote-leading attribute NAMES: the stdlib reads the quote as an
+        # unterminated value spanning '>' and emits the whole tag as text;
+        # the fast grammar must refuse (round-5 advisory finding)
+        '<b a= "x>t ',
+        '<a href= "x>y</a> ',
+        "<p \"q=1>x</p>",
+        "<p 'a>y</p>",
+        "<p a= 'b>c'>d</p>",
     ]
 
     def test_adversarial_vectors(self):
@@ -261,6 +269,20 @@ class TestFastTokenizerEquivalence:
         @given(st.lists(frag, min_size=0, max_size=20))
         def check(parts):
             self.assert_equiv("".join(parts))
+
+        check()
+
+    def test_hypothesis_raw_char_fuzz(self):
+        """Raw-character fuzz (not fragment-composed): catches divergence
+        classes the fragment fuzz can't reach, e.g. quote-leading attribute
+        names after 'attr= ' (the round-5 advisory finding)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=600, deadline=None)
+        @given(st.text(alphabet="<>/='\"ab x&;#!-\n\t", max_size=40))
+        def check(html):
+            self.assert_equiv(html)
 
         check()
 
@@ -355,5 +377,76 @@ class TestStreamingParsePageEquivalence:
             html = "".join(parts)
             fast, slow = self._both(html)
             assert fast == slow, repr(html)
+
+        check()
+
+
+class TestFusedStreamParse:
+    """The fused single-loop ``_stream_parse`` (round-6 hot path) must be
+    event-for-event identical to the class pipeline it replaced
+    (``_fast_feed`` driving ``_StreamExtractor``): same accept/refuse
+    decision, same bodies, same hrefs."""
+
+    @staticmethod
+    def _both(html: str):
+        import nimbus_crawler_spark.functions.extract as ex
+
+        se = ex._StreamExtractor()
+        ok = ex._fast_feed(se, html)
+        cls_out = (se.bodies, se.hrefs) if ok else None
+        fused = ex._stream_parse(html)
+        return cls_out, fused
+
+    def _assert_same(self, html: str):
+        cls_out, fused = self._both(html)
+        if cls_out is None:
+            assert fused is None, repr(html)
+        else:
+            assert fused == cls_out, repr(html)
+
+    def test_adversarial_vectors(self):
+        for html in TestFastTokenizerEquivalence.ADVERSARIAL:
+            self._assert_same(html)
+
+    def test_corpus_pages(self):
+        from nimbus_crawler_spark.sources.corpus import make_corpus
+
+        corpus = make_corpus(seed=31, n_hosts=6, pages_per_host=10, heavy_dom=25)
+        for page in corpus.pages:
+            html = page["html"]
+            if isinstance(html, (bytes, bytearray)):
+                html = bytes(html).decode("utf-8", errors="replace")
+            self._assert_same(html)
+
+    def test_hypothesis_raw_char_fuzz(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=600, deadline=None)
+        @given(st.text(alphabet="<>/='\"ab x&;#!-\n\t", max_size=40))
+        def check(html):
+            self._assert_same(html)
+
+        check()
+
+    def test_fragment_fuzz(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        frag = st.sampled_from(
+            [
+                "<body>", "</body>", "<p>", "</p>", "<a href='/x'>",
+                '<a href="/y?b=1&amp;a=2">', "</a>", "<br/>", "<script>",
+                "</script>", "<noscript>", "</noscript>", "<iframe>",
+                "</iframe>", "text", "&amp;", "<", ">", "<td>", "</td>",
+                "<li>", " ", "<a href=''>", "<a>", "<BODY>", "</BODY>",
+                "<body/>", "<a href='/z'/>", "<p a= 'b>c'>",
+            ]
+        )
+
+        @settings(max_examples=400, deadline=None)
+        @given(st.lists(frag, min_size=0, max_size=20))
+        def check(parts):
+            self._assert_same("".join(parts))
 
         check()
