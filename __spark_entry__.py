@@ -30,6 +30,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread_t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """_t + textdedup._spread: the small-SF tables are single parquet files,
+    which pins per-row-heavy projections (pandas-UDF kernels, 20-regex lang
+    scoring) to ONE task; the spread is gated on file count < parallelism,
+    so it is a no-op on production-sized tables."""
+    from nimbus_crawler_spark.operators.textdedup import _spread
+
+    return _spread(_t(spark, sf_dir, name))
+
+
 # ---------------------------------------------------------------------------
 # flagship: document-curation pipeline over the documents table
 # ---------------------------------------------------------------------------
@@ -86,9 +96,9 @@ def _q_politeness_budget_rank(spark, sf_dir):
 def _q_seen_antijoin(spark, sf_dir):
     # J1/D2: URL-seen membership as a left_anti join — "orders not yet seen
     # shipping in H2 1998" stands in for candidate-links ∖ seen-set
-    orders = _t(spark, sf_dir, "orders")
+    orders = _spread_t(spark, sf_dir, "orders")
     seen = (
-        _t(spark, sf_dir, "lineitem")
+        _spread_t(spark, sf_dir, "lineitem")
         .where(F.col("l_shipdate") > F.lit("1998-06-01"))
         .select(F.col("l_orderkey").alias("o_orderkey"))
     )
@@ -99,7 +109,7 @@ def _q_content_dedup_first_wins(spark, sf_dir):
     # D3: content-hash first-wins as a map-side-combinable min aggregate —
     # never a per-hash window (a 10^7-copy boilerplate group would funnel
     # into one window task; same hazard class swept from the engine in r5)
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread_t(spark, sf_dir, "documents")
     return (
         docs.groupBy(F.md5("text").alias("content_hash"))
         .agg(F.min("doc_id").alias("doc_id"))
@@ -109,7 +119,7 @@ def _q_content_dedup_first_wins(spark, sf_dir):
 
 def _q_retry_backoff(spark, sf_dir):
     # P11/U4: deterministic backoff-rounds formula (jitter=0, round_ms=1000)
-    ev = _t(spark, sf_dir, "events")
+    ev = _spread_t(spark, sf_dir, "events")
     retry = (F.col("event_id") % 4).cast("int")
     return ev.select(
         "event_id",
@@ -134,7 +144,7 @@ def _q_domain_fanout(spark, sf_dir):
 
 
 def _q_tpch_q1_pricing(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    li = _spread_t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-09-02"))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -148,7 +158,7 @@ def _q_tpch_q1_pricing(spark, sf_dir):
 
 
 def _q_top_customers(spark, sf_dir):
-    orders = _t(spark, sf_dir, "orders")
+    orders = _spread_t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     rev = (
         orders.groupBy("o_custkey")
@@ -161,7 +171,7 @@ def _q_top_customers(spark, sf_dir):
 
 
 def _q_lineitem_rollup(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
+    li = _spread_t(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
@@ -584,7 +594,7 @@ def _q_canonicalize(spark, sf_dir):
     _ensure(spark)
     from nimbus_crawler_spark.functions.udfs import canonicalize_udf
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread_t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", canonicalize_udf(_messy_url()).alias("canonical_url")
     )
@@ -603,7 +613,7 @@ def _q_object_keys(spark, sf_dir):
     _ensure(spark)
     from nimbus_crawler_spark.functions.udfs import html_key_udf, text_key_udf
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread_t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         html_key_udf(_simple_url()).alias("html_key"),
@@ -628,7 +638,7 @@ def _q_robots_gate(spark, sf_dir):
     _ensure(spark)
     from nimbus_crawler_spark.functions.udfs import crawl_delay_udf, robots_allowed_udf
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread_t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         robots_allowed_udf(F.lit(_ROBOTS_BODY), _robots_url()).alias("allowed"),
@@ -642,7 +652,7 @@ def _q_extract_roundtrip(spark, sf_dir):
     # extract back byte-identically (oracle: the text column itself)
     from nimbus_crawler_spark.functions.udfs import parse_page_udf
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread_t(spark, sf_dir, "documents")
     html = F.encode(
         F.concat(
             F.lit("<html><head><title>t</title></head><body><h1>D"),
@@ -667,7 +677,7 @@ def _q_hostname_registrable(spark, sf_dir):
     _ensure(spark)
     from nimbus_crawler_spark.functions.udfs import hostname_udf, registrable_domain_udf
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread_t(spark, sf_dir, "documents")
     url = F.concat(
         F.lit("https://sub"),
         (F.col("doc_id") % 4).cast("string"),
@@ -741,17 +751,29 @@ _MM_RESIZE_PATH = "/tmp/nimbus-mm-resize-v1.parquet"
 _MM_FRAMES_PATH = "/tmp/nimbus-mm-frames-v1.parquet"
 
 
+def _fixture_media_df(spark):
+    """The 60-row fixture as a FEW-partition DataFrame. createDataFrame
+    spreads a local list over defaultParallelism slices — 32 near-empty
+    partitions each spawning a Python worker for the mapInPandas decode
+    (measured: 30+ s of simultaneous worker spin-up under host contention,
+    vs ~2 s of actual decode). coalesce is narrow (no exchange) and row
+    values are untouched, so results are identical."""
+    from nimbus_crawler_spark.operators.multimodal import MEDIA_SCHEMA
+    from nimbus_crawler_spark.sources.media_fixture import fixture_media_rows
+
+    return spark.createDataFrame(fixture_media_rows(), MEDIA_SCHEMA).coalesce(4)
+
+
 def _q_multimodal_resize(spark, sf_dir):
     """Deterministic area/block-mean image resize (the tensor-prep step of
     an image training pipeline) over the real-BMP fixture payloads; the
     oracle reads expected grids recomputed from the generative arrays with
     plain-Python loops (sources/media_fixture.py) — numpy slice-sum vs
     pure-Python math, exact integer semantics."""
-    from nimbus_crawler_spark.operators.multimodal import MEDIA_SCHEMA, resize_images
-    from nimbus_crawler_spark.sources.media_fixture import fixture_media_rows
+    from nimbus_crawler_spark.operators.multimodal import resize_images
 
     _ensure(spark)
-    media = spark.createDataFrame(fixture_media_rows(), MEDIA_SCHEMA)
+    media = _fixture_media_df(spark)
     out = resize_images(media, out_w=8, out_h=8)
     return out.select(
         "media_id",
@@ -769,11 +791,10 @@ def _q_multimodal_frame_sample(spark, sf_dir):
     (BMP single frame, WAV channel-frames, raw 256-byte blocks) — the
     frame-selection half of a video/audio curation pipeline. Oracle:
     plain-Python expected rows from the generative arrays."""
-    from nimbus_crawler_spark.operators.multimodal import MEDIA_SCHEMA, sample_frames
-    from nimbus_crawler_spark.sources.media_fixture import fixture_media_rows
+    from nimbus_crawler_spark.operators.multimodal import sample_frames
 
     _ensure(spark)
-    media = spark.createDataFrame(fixture_media_rows(), MEDIA_SCHEMA)
+    media = _fixture_media_df(spark)
     return sample_frames(media, k=4)
 
 
@@ -785,11 +806,10 @@ def _q_multimodal_decode(spark, sf_dir):
     expectations recomputed from the generative arrays with plain-Python
     math (sources/media_fixture.py) — upgrading the multimodal decode family
     from rows-only to a three-check gate."""
-    from nimbus_crawler_spark.operators.multimodal import MEDIA_SCHEMA, extract_features
-    from nimbus_crawler_spark.sources.media_fixture import fixture_media_rows
+    from nimbus_crawler_spark.operators.multimodal import extract_features
 
     _ensure(spark)
-    media = spark.createDataFrame(fixture_media_rows(), MEDIA_SCHEMA)
+    media = _fixture_media_df(spark)
     feats = extract_features(media)
     return feats.select(
         "media_id",

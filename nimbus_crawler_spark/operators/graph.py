@@ -60,14 +60,33 @@ def connected_components(
     each elect a "keeper", silently under-deduplicating), so exhausting
     ``max_iter`` without reaching the fixpoint raises.
     """
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    # both edge directions from ONE pass over the input: the former
+    # e.union(e.swapped) planned the caller's whole pair-generation pipeline
+    # (LSH band join at minimum) once per union branch — the explode emits
+    # (u,v) and (v,u) from each row of a single scan instead
+    sym = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.u", "_e.v")
+        .distinct()
+    )
     # the edge list is consumed once per round — compute it once
     sym = sym.localCheckpoint(eager=True)
+    # label init FUSED with the first hook: with comp0(v) = v, round 1's
+    # neighbor-min is simply min(v) per u, so labels start at
+    # min(u, min neighbor) from one aggregate over sym — this replaces the
+    # former select(u).distinct() init checkpoint AND the first loop round
+    # (the fixpoint is the same monotone limit from any point on its path)
     labels = (
-        sym.select("u")
-        .distinct()
-        .select(F.col("u").alias("node"), F.col("u").alias("comp"))
+        sym.groupBy("u")
+        .agg(F.least(F.col("u"), F.min("v")).alias("comp"))
+        .select(F.col("u").alias("node"), "comp")
         .localCheckpoint(eager=True)
     )
     from pyspark.sql import Observation
@@ -200,7 +219,12 @@ def pagerank(
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # compute the caller's edge pipeline ONCE: four consumers below (both
+    # node-set union branches, out-degrees, the weighted join) would each
+    # re-plan it — for host_rank that subtree is the full page parse
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=True
+    )
     nodes = (
         e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
         .select(F.col("u").alias("node"))

@@ -118,7 +118,7 @@ def bpe_pair_counts(
         .orderBy(F.desc("n_occurrences"), F.asc("pair"))
         .limit(top_k)
     )
-    w = Window.orderBy(F.desc("n_occurrences"), F.asc("pair"))
+    w = Window.partitionBy(F.pmod(F.col("n_occurrences"), F.lit(1))).orderBy(F.desc("n_occurrences"), F.asc("pair"))  # constant-0 partition (non-foldable): same single-task semantics over <=k post-limit rows, no WindowExec WARN
     return agg.withColumn("rank", F.row_number().over(w))
 
 
@@ -182,5 +182,5 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    w = Window.partitionBy(F.pmod(F.col("doc_id"), F.lit(1))).orderBy(F.desc("score"), F.asc("doc_id"))  # constant-0 partition (non-foldable): same single-task semantics over <=k post-limit rows, no WindowExec WARN
     return scored.withColumn("rank", F.row_number().over(w))

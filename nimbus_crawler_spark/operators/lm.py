@@ -43,9 +43,13 @@ from nimbus_crawler_spark.operators.textdedup import _tokens
 
 def _doc_term_freqs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc_id, token, tf) — whitespace tokens, lowercased; the shared
-    pre-aggregation both the model estimate and the scoring pass consume."""
+    pre-aggregation both the model estimate and the scoring pass consume.
+    ``_spread`` parallelizes the tokenize+explode for small one-file scans
+    (no-op at production file counts)."""
+    from nimbus_crawler_spark.operators.textdedup import _spread
+
     return (
-        docs.select(
+        _spread(docs).select(
             F.col(id_col).alias("doc_id"),
             F.explode(_tokens(F.col(text_col))).alias("token"),
         )

@@ -210,7 +210,17 @@ def decode_media(payload: bytes, kind: str, codec: str = "auto") -> dict:
 
 
 def extract_features(media: DataFrame, codec: str = "auto") -> DataFrame:
-    """mapInPandas feature extraction over binary media columns."""
+    """mapInPandas feature extraction over binary media columns.
+
+    The input is ``_spread`` first: a small single-file scan would otherwise
+    pin the whole Python decode stage to ONE task (measured: the sf0.1 media
+    table is one parquet file — 5000 payloads decoded on one core while 31
+    idle). At 100 TB the file count exceeds the core count and the spread is
+    a no-op, so payloads never shuffle in production (the module-doc
+    invariant)."""
+    from .textdedup import _spread
+
+    media = _spread(media)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -281,8 +291,13 @@ def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame
     production pipeline would route them to a quarantine sink).
 
     Scale: ``mapInPandas`` over Arrow batches on the scan partitions — the
-    image bytes never shuffle; only the (out_w·out_h)-int rows move.
+    image bytes never shuffle; only the (out_w·out_h)-int rows move
+    (``_spread`` parallelizes small single-file scans and is a no-op at
+    production file counts, as in ``extract_features``).
     """
+    from .textdedup import _spread
+
+    media = _spread(media)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -343,8 +358,12 @@ def sample_frames(media: DataFrame, k: int = 4) -> DataFrame:
     rows are bit-checkable against a plain-Python oracle.
 
     Scale: same ``mapInPandas`` shape as ``extract_features`` — media bytes
-    stay on the scan partitions; k typed rows per payload move on.
+    stay on the scan partitions; k typed rows per payload move on
+    (``_spread`` applied for the same small-scan reason).
     """
+    from .textdedup import _spread
+
+    media = _spread(media)
 
     def frame_rows(payload: bytes, kind: str) -> tuple[str, int, list[tuple[int, int, int]]]:
         decoded = _bmp_lum(payload) if payload[:2] == b"BM" else None

