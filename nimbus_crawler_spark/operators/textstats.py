@@ -326,11 +326,29 @@ def curation_pipeline(
         quality_score_col(feats).alias("quality_score"),
         frac(_top_run_count(g2), F.size(g2)).alias("top_bigram_frac"),
         doc_fingerprint(t).alias("fingerprint"),
-    ).where(
-        (F.col("pred_lang") == lang)
-        & (F.col("quality_score") >= min_quality)
-        & (F.col("top_bigram_frac") <= max_top_bigram_frac)
     )
+    # Pushdown barrier. Catalyst pushes a Filter through a Project whenever
+    # every PROJECT field is deterministic (the condition's own determinism
+    # is not consulted for Project), substituting the aliases — so each of
+    # the three gates below would re-evaluate the heavy expressions
+    # (20-regex lang argmax, quality features, bigram top-run) in the
+    # pushed Filter AND again in the Project: measured 2×45
+    # regexp_extract_all nodes and ~2× the stage time (the same
+    # duplication class as guide §4.4's UDFs). One non-deterministic dummy
+    # column, referenced by an always-false disjunct (rand() ∈ [0,1) is
+    # never < -1, so the predicate is exactly the three gates), fails the
+    # all-deterministic-fields test, survives column pruning, and cannot be
+    # split out of the disjunction — the Filter stays above the Project and
+    # every expression is evaluated once.
+    scored = scored.withColumn("_nd_barrier", F.rand())
+    scored = scored.where(
+        (
+            (F.col("pred_lang") == lang)
+            & (F.col("quality_score") >= min_quality)
+            & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+        )
+        | (F.col("_nd_barrier") < F.lit(-1.0))
+    ).drop("_nd_barrier")
     # exact-dedup first-wins via the shared min_by aggregate shape (one
     # buffered row per fingerprint per partition — see first_wins for why
     # this is never a per-fingerprint window)
