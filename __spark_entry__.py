@@ -96,9 +96,9 @@ def _q_politeness_budget_rank(spark, sf_dir):
 def _q_seen_antijoin(spark, sf_dir):
     # J1/D2: URL-seen membership as a left_anti join — "orders not yet seen
     # shipping in H2 1998" stands in for candidate-links ∖ seen-set
-    orders = _spread_t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders")
     seen = (
-        _spread_t(spark, sf_dir, "lineitem")
+        _t(spark, sf_dir, "lineitem")
         .where(F.col("l_shipdate") > F.lit("1998-06-01"))
         .select(F.col("l_orderkey").alias("o_orderkey"))
     )
@@ -109,7 +109,7 @@ def _q_content_dedup_first_wins(spark, sf_dir):
     # D3: content-hash first-wins as a map-side-combinable min aggregate —
     # never a per-hash window (a 10^7-copy boilerplate group would funnel
     # into one window task; same hazard class swept from the engine in r5)
-    docs = _spread_t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents")
     return (
         docs.groupBy(F.md5("text").alias("content_hash"))
         .agg(F.min("doc_id").alias("doc_id"))
@@ -119,7 +119,7 @@ def _q_content_dedup_first_wins(spark, sf_dir):
 
 def _q_retry_backoff(spark, sf_dir):
     # P11/U4: deterministic backoff-rounds formula (jitter=0, round_ms=1000)
-    ev = _spread_t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events")
     retry = (F.col("event_id") % 4).cast("int")
     return ev.select(
         "event_id",
@@ -144,7 +144,7 @@ def _q_domain_fanout(spark, sf_dir):
 
 
 def _q_tpch_q1_pricing(spark, sf_dir):
-    li = _spread_t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-09-02"))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -158,7 +158,7 @@ def _q_tpch_q1_pricing(spark, sf_dir):
 
 
 def _q_top_customers(spark, sf_dir):
-    orders = _spread_t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     rev = (
         orders.groupBy("o_custkey")
@@ -171,7 +171,7 @@ def _q_top_customers(spark, sf_dir):
 
 
 def _q_lineitem_rollup(spark, sf_dir):
-    li = _spread_t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))

@@ -107,7 +107,7 @@ def shingles(text: Column, n: int = 3) -> Column:
 def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact duplicate groups by md5(text): (content_hash, n_docs, keeper)."""
     return (
-        _spread(docs).groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
         .agg(
             F.count("*").alias("n_docs"),
             F.min(id_col).alias("keeper_doc_id"),
