@@ -1298,3 +1298,125 @@ class TestHostRank:
         assert set(got_rank) == set(nodes)
         for v in nodes:
             assert got_rank[v] == pytest.approx(rank[v], abs=1e-9)
+
+
+class TestR6OptimizationInternals:
+    """Pin the round-6 rewrites against reference formulations: the
+    first-matching-band LSH emission (replaced a distinct), the ngram
+    intersection-bound prune (must drop nothing the verify would keep),
+    and the hook-fused CC label init (must still be min-id components)."""
+
+    def _mk_docs(self, spark, seed=13, n=40):
+        import random
+
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(12)]
+        rows = []
+        for i in range(n):
+            toks = [rng.choice(vocab) for _ in range(rng.randint(3, 30))]
+            rows.append((i, " ".join(toks)))
+        # inject exact and near duplicates so bands collide across groups
+        rows.append((n, rows[0][1]))
+        rows.append((n + 1, rows[1][1] + " w0"))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_simhash_first_band_equals_distinct_formulation(self, spark):
+        from pyspark.sql import functions as F
+
+        from nimbus_crawler_spark.operators.textdedup import (
+            _materialize,
+            simhash_fingerprints,
+            simhash_near_pairs,
+        )
+
+        docs = self._mk_docs(spark)
+        bits, bands, mh = 16, 4, 3
+        got_rows = simhash_near_pairs(docs, max_hamming=mh, bits=bits, bands=bands).collect()
+        got = [(r["a"], r["b"], r["hamming"]) for r in got_rows]
+        # no pair may be emitted twice (uniqueness replaced the distinct)
+        assert len(got) == len(set(got))
+
+        # reference: the pre-r6 shape — band join, distinct, hamming filter
+        fps = _materialize(simhash_fingerprints(docs, bits=bits))
+        band_bits = bits // bands
+        mask = (1 << band_bits) - 1
+        bstructs = F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(F.lit(mask)).alias("band_key"),
+            )
+            for b in range(bands)
+        ])
+        banded = fps.select("doc_id", "simhash", F.explode(bstructs).alias("_bk")).select(
+            "doc_id", "simhash", F.col("_bk.band").alias("band"), F.col("_bk.band_key").alias("band_key")
+        )
+        a = banded.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sh_a"), "band", "band_key")
+        b = banded.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sh_b"), "band", "band_key")
+        ref = (
+            a.join(b, ["band", "band_key"]).where(F.col("a") < F.col("b"))
+            .select("a", "b", "sh_a", "sh_b").distinct()
+            .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+            .where(F.col("hamming") <= mh).select("a", "b", "hamming").collect()
+        )
+        assert set(got) == {(r["a"], r["b"], r["hamming"]) for r in ref}
+
+    def test_ngram_prune_drops_nothing(self, spark):
+        from pyspark.sql import functions as F
+
+        from nimbus_crawler_spark.operators.textdedup import (
+            jaccard_verify,
+            ngram_jaccard_pairs,
+            shingle_sets,
+        )
+
+        docs = self._mk_docs(spark, seed=29, n=60)
+        thr, n, mdf = 0.3, 3, 6
+        got = {(r["a"], r["b"], r["jaccard"]) for r in
+               ngram_jaccard_pairs(docs, threshold=thr, shingle_n=n, max_doc_freq=mdf).collect()}
+        # reference: candidates WITHOUT the intersection-bound prune
+        sets = shingle_sets(docs, n)
+        sh = sets.select(F.col("_id").alias("doc_id"), F.explode("_sh").alias("shingle"))
+        rare = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+                .where((F.col("_df") >= 2) & (F.col("_df") <= mdf)).select("shingle"))
+        holders = (sh.join(rare, "shingle", "left_semi").groupBy("shingle")
+                   .agg(F.sort_array(F.collect_set("doc_id")).alias("_ids")))
+        pair_structs = F.flatten(F.transform(
+            "_ids",
+            lambda x, i: F.transform(F.slice("_ids", i + 2, F.size("_ids")),
+                                     lambda y: F.struct(x.alias("a"), y.alias("b"))),
+        ))
+        cands = (holders.select(F.explode(pair_structs).alias("_p"))
+                 .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b")).distinct())
+        ref = {(r["a"], r["b"], r["jaccard"]) for r in
+               jaccard_verify(cands, docs, thr, n, sets=sets).collect()}
+        assert got == ref
+
+    def test_cc_fused_init_random_graphs(self, spark):
+        import random
+
+        from nimbus_crawler_spark.operators.graph import connected_components
+
+        for seed in (3, 17):
+            rng = random.Random(seed)
+            nodes = list(range(60))
+            edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(70)]
+            edges = [(a, b) for a, b in edges if a != b]
+            df = spark.createDataFrame(edges, "a long, b long")
+            got = {r["node"]: r["comp"] for r in connected_components(df).collect()}
+            # plain-Python union-find reference
+            parent = {}
+            def find(x):
+                parent.setdefault(x, x)
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+            for a, b in edges:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            exp = {}
+            for a, b in edges:
+                for x in (a, b):
+                    exp[x] = find(x)
+            assert got == exp, seed
